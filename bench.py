@@ -1,0 +1,82 @@
+"""Benchmark runner (driver contract): runs headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (count() to materialize — results are
+not collected to the driver; the driver-side limit queries are tiny anyway).
+Also reports index-build throughput (docs/sec over the documents table) under
+"extra" for the scaling-evidence workflow (see bench_scaling.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from clip_as_service_spark.plans import driver_queries as dq  # noqa: E402
+from clip_as_service_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "bm25_topk",
+    "bm25_pairs",
+    "boolean_and",
+    "term_stats",
+    "dedup_exact",
+    "text_quality",
+    "pricing_summary",
+    "top_orders_per_customer",
+    "customer_order_totals",
+    "events_hourly",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = dq.queries()
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name in HEADLINE:
+        fn = registry[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        _ = n
+    total = round(time.perf_counter() - t_all, 3)
+
+    # index-build throughput: documents → postings materialized
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    t0 = time.perf_counter()
+    dq._doc_postings(spark, sf_dir).groupBy().count().collect()
+    build_sec = time.perf_counter() - t0
+    docs_per_sec = round(n_docs / build_sec, 1) if build_sec > 0 else 0.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "index_build_docs_per_sec": docs_per_sec,
+                "n_docs": n_docs,
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

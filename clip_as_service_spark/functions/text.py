@@ -1,0 +1,49 @@
+"""Spark-side text functions — Arrow-vectorized pandas UDFs wrapping the
+vendored byte-identity oracle (textnorm.py).
+
+Why pandas UDFs and not built-ins here: the reference normalization uses
+ftfy + the ``regex`` module's ``\\p{L}`` Unicode classes
+(simple_tokenizer.py:58-61, 89-92); Java regex edge-semantics differ, so
+byte-identity with the oracle demands the same Python functions. The batch
+loop lives INSIDE the UDF over an Arrow batch — Spark never crosses into
+Python per row (BASELINE.json: "no per-row Python").
+
+Everything expressible with built-ins stays JVM-side: the whitespace collapse
+(F2) alone is also exposed as ``whitespace_clean_col`` (pure
+``regexp_replace``/``trim``) for pipelines that skip F1/F3.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, StringType
+
+from ..textnorm import extract_text_from_html, normalize, tokenize_words
+
+
+@pandas_udf(StringType())
+def clean_text_udf(texts: pd.Series) -> pd.Series:
+    """F1+F2: basic_clean + whitespace_clean (reference simple_tokenizer.py:58-67)."""
+    return texts.map(lambda t: normalize(t) if t is not None else None)
+
+
+@pandas_udf(ArrayType(StringType()))
+def tokenize_udf(texts: pd.Series) -> pd.Series:
+    """F1-F3: normalize → lower → token-regex findall (simple_tokenizer.py:137-138)."""
+    return texts.map(lambda t: tokenize_words(t) if t is not None else None)
+
+
+@pandas_udf(StringType())
+def extract_text_udf(blobs: pd.Series) -> pd.Series:
+    """html:binary → extracted text (byte-identical to oracle's extractor)."""
+    return blobs.map(
+        lambda b: extract_text_from_html(bytes(b)) if b is not None else None
+    )
+
+
+def whitespace_clean_col(col: Column) -> Column:
+    """F2 as pure built-ins (JVM-side, codegen): collapse \\s+ → ' ', trim."""
+    return F.trim(F.regexp_replace(col, r"\s+", " "))

@@ -1,0 +1,548 @@
+"""Driver-facing query registry: every entry is a (Spark impl, DuckDB oracle
+SQL) pair over the driver's testdata tables (TESTDATA.md).
+
+These queries exercise the operator inventory of SURVEY.md §2 on the
+driver's `documents`/`embeddings`/`events`/TPC-H-ish tables. The fulltext
+path here uses *split-on-space* tokenization (the documents fixture is clean
+lowercase prose) so the oracle is expressible in ANSI SQL; the full
+reference tokenizer (ftfy/unescape/\\p{L} regex — not SQL-expressible) is
+exercised against the vendored Python oracle in tests/ instead.
+
+Float determinism between engines: aggregate floats are rounded (4-6 dp) in
+BOTH engines; rankings order by round(score, 9) before the doc_id tie-break
+so last-ulp summation-order differences can't flip a rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+K1 = 1.2
+B = 0.75
+TOPK = 10
+
+# fixed query set drawn from the documents-table vocabulary + one OOV
+DOC_QUERIES: list[tuple[int, str]] = [
+    (0, "spark window agg"),
+    (1, "hash join table"),
+    (2, "customer query"),
+    (3, "vector"),
+    (4, "slow fast merge"),
+    (5, "stream batch group order"),
+    (6, "zzzoovterm"),
+]
+
+STOPWORDS = ("a", "the")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(DOC_QUERIES, "query_id int, qtext string")
+
+
+def _queries_values_sql() -> str:
+    rows = ", ".join(f"({i}, '{t}')" for i, t in DOC_QUERIES)
+    return f"(VALUES {rows}) AS q(query_id, qtext)"
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, term) one row per token (split on space)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    )
+
+
+def _doc_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _doc_tokens(spark, sf_dir)
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+_SQL_TOKENS = (
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents"
+)
+_SQL_POSTINGS = (
+    f"SELECT term, doc_id, count(*) AS tf FROM ({_SQL_TOKENS}) GROUP BY term, doc_id"
+)
+_SQL_DL = f"SELECT doc_id, count(*) AS dl FROM ({_SQL_TOKENS}) GROUP BY doc_id"
+
+
+# ---------------------------------------------------------------------------
+# Fulltext / BM25 family (reference verbs encode/rank/search, SURVEY.md §2.11)
+# ---------------------------------------------------------------------------
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, score) BM25 over documents for DOC_QUERIES.
+
+    Plan shape (scale story): postings/dl/term-df shuffles are on near-uniform
+    keys; query side is tiny and broadcast; the scored groupBy is
+    map-side-combinable. No driver-side loops, no Python UDFs at all here —
+    whole plan is JVM built-ins."""
+    tokens = _doc_tokens(spark, sf_dir)
+    postings = tokens.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dl = tokens.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tdf = postings.groupBy("term").agg(F.count("*").alias("df"))
+
+    qt = (
+        _queries_df(spark)
+        .select("query_id", F.explode(F.split("qtext", " ")).alias("term"))
+        .distinct()
+    )
+    qt_idf = (
+        qt.join(tdf, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .select("query_id", "term", "idf", "avgdl")
+    )
+    joined = postings.join(F.broadcast(qt_idf), "term").join(
+        F.broadcast(dl), "doc_id"
+    )
+    partial = (
+        F.col("idf")
+        * F.col("tf")
+        * F.lit(K1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(K1)
+            * (F.lit(1.0 - B) + F.lit(B) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        joined.select("query_id", "doc_id", partial.alias("partial"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("partial").alias("score"))
+    )
+
+
+_SQL_BM25_SCORES = f"""
+WITH tokens AS ({_SQL_TOKENS}),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM tokens GROUP BY term, doc_id),
+dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+tdf AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+qt AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term
+       FROM {_queries_values_sql()}),
+scored AS (
+  SELECT qt.query_id, p.doc_id,
+         sum( ln(1.0 + (s.n_docs - t.df + 0.5) / (t.df + 0.5))
+              * p.tf * {K1 + 1.0}
+              / (p.tf + {K1} * ({1.0 - B} + {B} * d.dl / s.avgdl)) ) AS score
+  FROM qt
+  JOIN tdf t ON qt.term = t.term
+  JOIN postings p ON qt.term = p.term
+  JOIN dl d ON p.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, p.doc_id
+)
+"""
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: BM25 top-10 per query, rank + rounded score."""
+    scores = _bm25_scores(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+SQL_BM25_TOPK = f"""
+{_SQL_BM25_SCORES}
+, ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 9) DESC, doc_id) AS rank,
+         round(score, 6) AS score
+  FROM scored)
+SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id, CAST(rank AS INT) AS rank, score
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
+def q_bm25_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All scored (query, doc) pairs — order-free value check of the scorer."""
+    return _bm25_scores(spark, sf_dir).select(
+        "query_id",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+SQL_BM25_PAIRS = f"""
+{_SQL_BM25_SCORES}
+SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id, round(score, 6) AS score FROM scored
+"""
+
+
+def q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 terms by document frequency (df desc, term asc) with collection
+    frequency — the index's dictionary head (A4 corpus statistics)."""
+    postings = _doc_postings(spark, sf_dir)
+    return (
+        postings.groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("cf"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(50)
+    )
+
+
+SQL_TERM_STATS = f"""
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf
+FROM ({_SQL_POSTINGS}) GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 50
+"""
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N, avgdl, vocabulary size (A4)."""
+    tokens = _doc_tokens(spark, sf_dir)
+    dl = tokens.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    return dl.crossJoin(
+        tokens.agg(F.countDistinct("term").alias("vocab"))
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+        F.first("vocab").alias("vocab"),
+    ).select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "avgdl",
+        F.col("vocab").cast("long").alias("vocab"),
+    )
+
+
+SQL_CORPUS_STATS = f"""
+WITH tokens AS ({_SQL_TOKENS}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id)
+SELECT CAST((SELECT count(*) FROM dl) AS BIGINT) AS n_docs,
+       round((SELECT avg(dl) FROM dl), 6) AS avgdl,
+       CAST((SELECT count(DISTINCT term) FROM tokens) AS BIGINT) AS vocab
+"""
+
+
+def q_doc_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token count + distinct terms (P2/A4 analog)."""
+    return _doc_tokens(spark, sf_dir).groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        F.countDistinct("term").alias("n_terms"),
+    )
+
+
+SQL_DOC_LENGTH = f"""
+SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+       CAST(count(DISTINCT term) AS BIGINT) AS n_terms
+FROM ({_SQL_TOKENS}) GROUP BY doc_id
+"""
+
+
+def q_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) posting-list intersection: docs containing ALL query
+    terms (SURVEY.md §2.3 — repeated equi-join expressed as group/having)."""
+    qt = (
+        _queries_df(spark)
+        .select("query_id", F.explode(F.split("qtext", " ")).alias("term"))
+        .distinct()
+    )
+    n_terms = qt.groupBy("query_id").agg(F.count("*").alias("n_terms"))
+    postings = _doc_postings(spark, sf_dir)
+    matched = (
+        postings.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        matched.join(F.broadcast(n_terms), "query_id")
+        .filter(F.col("n_hit") == F.col("n_terms"))
+        .select("query_id", F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+
+SQL_BOOLEAN_AND = f"""
+WITH qt AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term
+            FROM {_queries_values_sql()}),
+nq AS (SELECT query_id, count(*) AS n_terms FROM qt GROUP BY query_id),
+postings AS ({_SQL_POSTINGS})
+SELECT m.query_id, CAST(m.doc_id AS BIGINT) AS doc_id
+FROM (SELECT qt.query_id, p.doc_id, count(*) AS n_hit
+      FROM qt JOIN postings p ON qt.term = p.term
+      GROUP BY qt.query_id, p.doc_id) m
+JOIN nq ON m.query_id = nq.query_id
+WHERE m.n_hit = nq.n_terms
+"""
+
+
+def q_global_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scatter-gather global top-k (SURVEY.md §2.6): longest 20 docs.
+    Spark's TakeOrderedAndProject = per-partition heap + driver merge —
+    exactly the reference's shard-poll-ALL-and-merge (retriever.md:202-225)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.length("text").alias("n_chars_computed"))
+        .orderBy(F.desc("n_chars_computed"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+SQL_GLOBAL_TOPK_DOCS = """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_computed
+FROM documents ORDER BY n_chars_computed DESC, doc_id ASC LIMIT 20
+"""
+
+
+def q_result_merge_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 keyed result merge (client.py:160-166): attach each query's best
+    doc back onto the query row by id; queries with no hits survive (left
+    join) — identity & order preservation invariant."""
+    top1 = q_bm25_topk(spark, sf_dir).filter(F.col("rank") == 1).select(
+        "query_id", F.col("doc_id").alias("best_doc_id"), F.col("score").alias("best_score")
+    )
+    return _queries_df(spark).join(top1, "query_id", "left").select(
+        "query_id", "qtext", "best_doc_id", "best_score"
+    )
+
+
+SQL_RESULT_MERGE_BY_ID = f"""
+{_SQL_BM25_SCORES}
+, ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 9) DESC, doc_id) AS rank,
+         round(score, 6) AS score
+  FROM scored)
+SELECT q.query_id, q.qtext,
+       CAST(r.doc_id AS BIGINT) AS best_doc_id, r.score AS best_score
+FROM {_queries_values_sql()}
+LEFT JOIN (SELECT * FROM ranked WHERE rank = 1) r ON q.query_id = r.query_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per distinct text with
+    its cardinality and the min doc_id as the canonical survivor."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text-analysis family
+# ---------------------------------------------------------------------------
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: token count, mean token length, stopword ratio."""
+    tokens = _doc_tokens(spark, sf_dir)
+    return tokens.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg(F.length("term")), 6).alias("avg_token_len"),
+        F.round(
+            F.sum(F.when(F.col("term").isin(*STOPWORDS), 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("stopword_ratio"),
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(length(term)), 6) AS avg_token_len,
+       round(sum(CASE WHEN term IN ('a', 'the') THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+         AS stopword_ratio
+FROM ({_SQL_TOKENS}) GROUP BY doc_id
+"""
+
+
+def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language histogram with per-lang char stats (P1 modality-split analog)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+SQL_LANG_DISTRIBUTION = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_chars), 6) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational coverage (joins/aggs/windows on the TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style grouped aggregate over lineitem (A-family coverage)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2: per-key descending rank with deterministic tie-break, ≤3."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("int").alias("rn")
+        )
+    )
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+WHERE rn <= 3
+"""
+
+
+def q_customer_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-dim equi-join + agg (J1-family at relational scale)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_spent"),
+    )
+    return (
+        agg.join(F.broadcast(cust), agg["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey", "c_name", "c_mktsegment", "n_orders", "total_spent"
+        )
+    )
+
+
+SQL_CUSTOMER_ORDER_TOTALS = """
+SELECT c_custkey, c_name, c_mktsegment,
+       CAST(n_orders AS BIGINT) AS n_orders, total_spent
+FROM (SELECT o_custkey, count(*) AS n_orders,
+             round(sum(o_totalprice), 4) AS total_spent
+      FROM orders GROUP BY o_custkey) a
+JOIN customer ON a.o_custkey = c_custkey
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window aggregate (batch form of the streaming op)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS value_sum
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple] = {
+    "bm25_topk": (q_bm25_topk, SQL_BM25_TOPK),
+    "bm25_pairs": (q_bm25_pairs, SQL_BM25_PAIRS),
+    "term_stats": (q_term_stats, SQL_TERM_STATS),
+    "corpus_stats": (q_corpus_stats, SQL_CORPUS_STATS),
+    "doc_length": (q_doc_length, SQL_DOC_LENGTH),
+    "boolean_and": (q_boolean_and, SQL_BOOLEAN_AND),
+    "global_topk_docs": (q_global_topk_docs, SQL_GLOBAL_TOPK_DOCS),
+    "result_merge_by_id": (q_result_merge_by_id, SQL_RESULT_MERGE_BY_ID),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "lang_distribution": (q_lang_distribution, SQL_LANG_DISTRIBUTION),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "top_orders_per_customer": (q_top_orders_per_customer, SQL_TOP_ORDERS_PER_CUSTOMER),
+    "customer_order_totals": (q_customer_order_totals, SQL_CUSTOMER_ORDER_TOTALS),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

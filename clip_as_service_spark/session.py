@@ -1,0 +1,63 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Design notes (100 TB target):
+- AQE on: runtime coalescing + skew-join splitting (head-term skew is the
+  dominant hazard of inverted-index builds over web text).
+- Arrow enabled: every Python crossing is a vectorized Arrow batch — the
+  engine has no per-row Python anywhere (BASELINE.json input_hint).
+- shuffle.partitions defaults to 2×cores locally; on a real cluster this is
+  sized so a shuffle partition of (term, doc_id, tf) rows fits in executor
+  memory (~128 MB target per partition).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "clip-as-service-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[{}]".format(
+        os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    cores = _parse_local_cores(master)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cores, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(max(cores, 2)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def _parse_local_cores(master: str) -> int:
+    if master.startswith("local["):
+        inner = master[len("local[") : -1]
+        if inner == "*":
+            return os.cpu_count() or 4
+        try:
+            return int(inner)
+        except ValueError:
+            return 4
+    return os.cpu_count() or 4
