@@ -1,0 +1,112 @@
+"""Posting-block codec: delta-gap + varint (vByte) — numpy-vectorized.
+
+The index analog of the reference's low-precision/size engineering
+(SURVEY.md §4 O6): posting lists are stored as fixed-size blocks
+(BLOCK_SIZE docs) of vByte-encoded doc-id gaps + vByte tf + vByte dl,
+with per-block metadata (first/last doc id, max impact weight) enabling
+block-max WAND skipping (O8 analog).
+
+All encode/decode is numpy array code over whole blocks — these functions
+run inside Arrow-batched pandas UDFs (applyInPandas), never per-row Python
+in Spark's loop.
+
+vByte: little-endian base-128; 7 payload bits per byte, high bit set on all
+but the terminal byte of each value (classic format, e.g. Scholer et al.,
+"Compression of inverted indexes for fast query evaluation", SIGIR 2002).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+def vbyte_encode(values: np.ndarray) -> bytes:
+    """Encode a non-negative int64 array. Vectorized: compute per-value byte
+    lengths, scatter payload bytes by offset."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: ceil(bitlen/7), min 1
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 1
+        tmp = tmp >> np.uint64(7)
+    nbytes = np.maximum(nbits, 1)
+    offsets = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    max_len = int(nbytes.max())
+    shifted = v.copy()
+    for byte_i in range(max_len):
+        mask = nbytes > byte_i
+        idx = offsets[mask] + byte_i
+        payload = (shifted[mask] & np.uint64(0x7F)).astype(np.uint8)
+        is_last = nbytes[mask] == byte_i + 1
+        out[idx] = payload | np.where(is_last, 0, 0x80).astype(np.uint8)
+        shifted = shifted >> np.uint64(7)
+    return out.tobytes()
+
+
+def vbyte_decode(data: bytes, n: int) -> np.ndarray:
+    """Decode exactly n values → int64 array. Vectorized: group bytes by
+    value id (cumsum over terminal-byte markers)."""
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    raw = np.frombuffer(data, dtype=np.uint8)
+    is_terminal = (raw & 0x80) == 0
+    # value id of each byte = count of terminals strictly before it
+    value_id = np.concatenate(([0], np.cumsum(is_terminal)[:-1]))
+    # byte position within its value
+    starts = np.concatenate(([0], np.flatnonzero(is_terminal)[:-1] + 1))
+    pos_in_value = np.arange(raw.size) - starts[value_id]
+    out = np.zeros(n, dtype=np.uint64)
+    np.add.at(
+        out,
+        value_id,
+        (raw & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * pos_in_value.astype(np.uint64)),
+    )
+    return out.astype(np.int64)
+
+
+def encode_posting_block(
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray
+) -> tuple[bytes, bytes, bytes]:
+    """One block (≤BLOCK_SIZE docs, doc_ids sorted ascending) →
+    (docs_vbyte_of_gaps, tfs_vbyte, dls_vbyte).
+
+    Gap convention: first value is the raw doc_id, subsequent are deltas to
+    the previous id (so blocks are independently decodable)."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    gaps = np.empty_like(doc_ids)
+    gaps[0] = doc_ids[0]
+    gaps[1:] = np.diff(doc_ids)
+    return (
+        vbyte_encode(gaps),
+        vbyte_encode(np.asarray(tfs, dtype=np.int64)),
+        vbyte_encode(np.asarray(dls, dtype=np.int64)),
+    )
+
+
+def decode_posting_block(
+    docs_b: bytes, tfs_b: bytes, dls_b: bytes, n: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    gaps = vbyte_decode(docs_b, n)
+    return np.cumsum(gaps), vbyte_decode(tfs_b, n), vbyte_decode(dls_b, n)
+
+
+def impact_weights(
+    tfs: np.ndarray, dls: np.ndarray, avgdl: float, k1: float, b: float
+) -> np.ndarray:
+    """BM25 tf-normalized impact w = tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)).
+
+    Elementwise float64 — bit-identical to the scalar oracle arithmetic
+    (same left-assoc op order). score(q,d) = Σ_t idf(t)·w(t,d)."""
+    tf = tfs.astype(np.float64)
+    dl = dls.astype(np.float64)
+    return tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))

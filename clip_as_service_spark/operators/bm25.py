@@ -85,8 +85,8 @@ def score_topk(
         .select("query_id", "term", "idf")
     )
 
-    # partial = idf * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
-    # — operation order mirrors oracle.score_all exactly (left-assoc).
+    # partial = idf * (tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)))
+    # — association mirrors oracle.score_all and codec.impact_weights exactly.
     joined = postings.join(F.broadcast(qt_idf), "term")
     denom = F.col("tf") + F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)
@@ -95,7 +95,7 @@ def score_topk(
         "query_id",
         "doc_id",
         "term",
-        (F.col("idf") * F.col("tf") * F.lit(k1 + 1.0) / denom).alias("partial"),
+        (F.col("idf") * (F.col("tf") * F.lit(k1 + 1.0) / denom)).alias("partial"),
     )
 
     # ordered float64 fold: 0.0 + p(t1) + p(t2) ... in ascending-term order

@@ -76,7 +76,9 @@ class BM25Oracle:
             for doc_id, tf in plist.items():
                 dl = self.doc_len[doc_id]
                 denom = tf + self.k1 * (1.0 - self.b + self.b * dl / self.avgdl)
-                partial = idf * tf * (self.k1 + 1.0) / denom
+                # association pinned as idf * (w) with w = tf*(k1+1)/denom so the
+                # impact-ordered index path (codec.impact_weights) is bit-identical
+                partial = idf * (tf * (self.k1 + 1.0) / denom)
                 scores[doc_id] = scores.get(doc_id, 0.0) + partial
         return scores
 

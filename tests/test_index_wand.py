@@ -1,0 +1,138 @@
+"""M2/M3/M4 tests: compressed index build, WAND exactness, resume, and
+partition-invariance (SURVEY.md §7 hard parts 1-4)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from clip_as_service_spark import fixtures
+from clip_as_service_spark.operators import index_build, wand
+from clip_as_service_spark.oracle import BM25Oracle
+from clip_as_service_spark.sources.tables import IndexStorage
+
+N_PAGES = 200
+K = 10
+# tiny thresholds so the salting path is exercised at fixture scale
+SALT_KW = dict(salt_cutoff=30, target_sublist=20, n_shards=4)
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx") / "index")
+    pages = fixtures.pages_spark_df(spark, N_PAGES, partitions=6)
+    index_build.build_index(spark, pages, out, **SALT_KW)
+    return out
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    return BM25Oracle.from_pages(fixtures.make_pages(N_PAGES))
+
+
+def _collect_topk(df):
+    out = {}
+    for r in sorted(df.collect(), key=lambda r: (r["query_id"], r["rank"])):
+        out.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"], r["score"]))
+    return out
+
+
+def _assert_matches_oracle(got, oracle):
+    for q in fixtures.make_queries():
+        expected = oracle.topk(q["text"], k=K)
+        g = got.get(q["query_id"], [])
+        assert [(r, d) for r, d, _ in g] == [(r, d) for r, d, _ in expected], (
+            f"mismatch for {q}"
+        )
+        for (_, _, se), (_, _, sg) in zip(expected, g):
+            assert sg == pytest.approx(se, rel=1e-12)
+
+
+def test_wand_exact_topk(spark, index_dir, oracle):
+    queries = fixtures.queries_spark_df(spark)
+    got = _collect_topk(wand.search_topk(spark, index_dir, queries, k=K, mode="wand"))
+    _assert_matches_oracle(got, oracle)
+
+
+def test_exploded_exact_topk(spark, index_dir, oracle):
+    queries = fixtures.queries_spark_df(spark)
+    got = _collect_topk(
+        wand.search_topk(spark, index_dir, queries, k=K, mode="exploded")
+    )
+    _assert_matches_oracle(got, oracle)
+
+
+def test_salting_created_sublists(spark, index_dir):
+    blocks = IndexStorage(index_dir).read(spark, "blocks")
+    n_salted = blocks.filter("salt > 0").count()
+    assert n_salted > 0, "salt_cutoff should have split head terms"
+
+
+def test_build_log_lineage(spark, index_dir):
+    rows = index_build.iter_build_log(spark, IndexStorage(index_dir))
+    stages = {r["stage"] for r in rows}
+    assert {"postings", "stats", "termdf", "blocks"} <= stages
+    block_rows = [r for r in rows if r["stage"] == "blocks"]
+    assert all(r["bytes"] is not None and r["bytes"] > 0 for r in block_rows)
+    assert all(r["wall_ms"] >= 0 for r in rows)
+
+
+def test_resume_after_kill(spark, tmp_path, oracle, monkeypatch):
+    """Kill during stage 3 (termdf) → resume → identical results, earlier
+    stages not rebuilt (north rule resumability)."""
+    out = str(tmp_path / "idx_resume")
+    pages = fixtures.pages_spark_df(spark, N_PAGES, partitions=6)
+
+    original_write = IndexStorage.write
+
+    def failing_write(self, df, table, partition_by=None):
+        if table == "termdf":
+            raise RuntimeError("simulated mid-build kill")
+        return original_write(self, df, table, partition_by)
+
+    monkeypatch.setattr(IndexStorage, "write", failing_write)
+    with pytest.raises(RuntimeError, match="simulated"):
+        index_build.build_index(spark, pages, out, **SALT_KW)
+    monkeypatch.setattr(IndexStorage, "write", original_write)
+
+    store = IndexStorage(out)
+    assert store.exists("postings") and store.exists("stats")
+    assert not store.exists("termdf")
+    import os
+
+    postings_mtime = os.path.getmtime(
+        os.path.join(store.path("postings"), "_SUCCESS")
+    )
+    index_build.build_index(spark, pages, out, **SALT_KW)
+    # stage 1 was NOT rebuilt on resume
+    assert postings_mtime == os.path.getmtime(
+        os.path.join(store.path("postings"), "_SUCCESS")
+    )
+    queries = fixtures.queries_spark_df(spark)
+    got = _collect_topk(wand.search_topk(spark, out, queries, k=K, mode="wand"))
+    _assert_matches_oracle(got, oracle)
+
+
+def test_index_bitwise_partition_invariance(spark, tmp_path, index_dir):
+    """Same input at different parallelism → bit-identical index content."""
+    out2 = str(tmp_path / "idx_p2")
+    pages = fixtures.pages_spark_df(spark, N_PAGES, partitions=2)
+    index_build.build_index(spark, pages, out2, **SALT_KW)
+
+    def digest(d):
+        blocks = IndexStorage(d).read(spark, "blocks")
+        rows = sorted(
+            (
+                r["term"], r["salt"], r["block_id"], r["n"], r["first_doc"],
+                r["last_doc"], repr(r["max_w"]),
+                bytes(r["docs"]).hex(), bytes(r["tfs"]).hex(), bytes(r["dls"]).hex(),
+            )
+            for r in blocks.collect()
+        )
+        h = hashlib.sha256()
+        for row in rows:
+            h.update(repr(row).encode())
+        return h.hexdigest()
+
+    assert digest(index_dir) == digest(out2)
