@@ -155,6 +155,60 @@ def pages_spark_df(spark, n: int, seed: int = 42, partitions: int | None = None)
     return df
 
 
+def pages_spark_distributed(spark, n: int, seed: int = 42, partitions: int = 64):
+    """Large-scale pages fixture generated ON THE EXECUTORS (mapInPandas over
+    spark.range): per-row rng seeded by (seed, doc index) so content is
+    deterministic regardless of partitioning — the bench corpus generator.
+
+    Messy-content decoration is skipped here (throughput benching tokenizes
+    the same distribution either way); correctness fixtures use make_pages.
+    """
+    from pyspark.sql import functions as F
+
+    vocab = _vocabulary(np.random.default_rng(seed))
+    v = len(vocab)
+    ranks = np.arange(1, v + 1, dtype=np.float64)
+    probs = ranks ** -1.3
+    probs /= probs.sum()
+
+    cum_probs = np.cumsum(probs)
+
+    def _gen(batches):
+        import pandas as pd
+
+        vocab_arr = np.array(vocab, dtype=object)
+        for pdf in batches:
+            rows = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+            for i in pdf["id"].astype("int64"):
+                rng = np.random.default_rng((seed << 24) ^ int(i))
+                n_words = int(rng.integers(20, 401))
+                # inverse-CDF sampling: searchsorted over the precomputed
+                # cumulative Zipf weights (rng.choice(p=...) rebuilds the
+                # cumsum per call — 10× slower)
+                idx = np.minimum(
+                    np.searchsorted(cum_probs, rng.random(n_words), side="right"),
+                    v - 1,
+                )
+                text = " ".join(vocab_arr[idx])
+                lang_draw = rng.random()
+                rows["url"].append(f"https://host{i % 97}.example.com/path/{i}")
+                rows["warc_ts"].append(EPOCH + timedelta(seconds=int(i)))
+                rows["html"].append(b"<html><body>" + text.encode() + b"</body></html>")
+                rows["text"].append(text)
+                rows["lang"].append(
+                    "en" if lang_draw < 0.95 else ("de" if lang_draw < 0.975 else "zh")
+                )
+            yield pd.DataFrame(rows)
+
+    return (
+        spark.range(0, n, 1, partitions)
+        .mapInPandas(
+            _gen,
+            schema="url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+    )
+
+
 def queries_spark_df(spark, n_seeded: int = 40, seed: int = 42):
     from pyspark.sql.types import (
         IntegerType,

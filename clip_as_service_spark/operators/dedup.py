@@ -1,0 +1,195 @@
+"""Deduplication operators for training-data pipelines — first-class engine
+components (the reference dedups nothing, but its scored-similarity semantics
+— cosine matrix + threshold, executors/helper.py:93-105 — generalize to
+near-duplicate detection over a corpus).
+
+Every operator is pure DataFrame API (no Python UDFs): the hash family is
+built on md5 hex (identical in Spark and ANSI SQL engines), so each operator
+has a byte-equivalent SQL oracle.
+
+- exact:        content-hash groupBy
+- minhash_lsh:  k-shingles → n permutation-hash minima → b bands → bucket
+                join → candidate pairs (classic MinHash+LSH, Broder 1997)
+- simhash:      60-bit sign-of-weighted-bit-sums fingerprint (Charikar 2002)
+- ngram_jaccard: exact pairwise Jaccard over shingle sets via equi-join on
+                shingle (the verification stage after LSH, or standalone)
+
+Scale notes: every shuffle key here is (doc, shingle) / (band, bucket) —
+near-uniform. The LSH band join is the standard way to avoid the O(N²)
+cross join at 10^12 docs; the Jaccard verifier only sees LSH candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# deterministic permutation-hash constants (shared with the SQL oracles).
+# MinHash permutations use a 40-bit base hash and a 31-bit Mersenne modulus
+# so a*h+b stays far below 2^63 — Spark 4 runs ANSI mode (overflow throws)
+# and DuckDB would silently promote to INT128 (diverging results).
+MOD_P = (1 << 31) - 1
+HASH_A = [3 + 8 * i for i in range(64)]  # odd multipliers
+HASH_B = [1 + 7 * i for i in range(64)]
+MINHASH_NIBBLES = 10  # 40-bit base hash for permutation arithmetic
+FP_NIBBLES = 15  # 60-bit base hash for fingerprints/simhash (no arithmetic)
+
+
+def base_hash_col(col, nibbles: int = FP_NIBBLES) -> F.Column:
+    """Base hash identical in Spark and DuckDB: first `nibbles` hex chars of
+    md5 → bigint (4·nibbles bits, positive)."""
+    return F.conv(F.substring(F.md5(col), 1, nibbles), 16, 10).cast("long")
+
+
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """→ (id, shingle) distinct word k-grams (split on single space)."""
+    tokens = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), " ").alias("toks"),
+    )
+    # k-gram via transform over 0..len-k
+    grams = tokens.select(
+        "id",
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("toks") - k, F.lit(-1))),
+            lambda i: F.concat_ws(" ", F.slice("toks", i + 1, k)),
+        ).alias("grams"),
+    )
+    return grams.select("id", F.explode("grams").alias("shingle")).distinct()
+
+
+def minhash_signatures(
+    sh: DataFrame, n_hashes: int = 16
+) -> DataFrame:
+    """→ (id, mh_0 .. mh_{n-1}) one row per doc."""
+    h = sh.select("id", base_hash_col(F.col("shingle"), MINHASH_NIBBLES).alias("h"))
+    aggs = [
+        F.min((F.lit(HASH_A[i]) * F.col("h") + F.lit(HASH_B[i])) % F.lit(MOD_P)).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return h.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """→ (id_a, id_b) candidate near-dup pairs (id_a < id_b), distinct.
+
+    Docs collide if any band (n_hashes/n_bands consecutive minima) matches
+    exactly — the band value is md5 over the concatenated minima."""
+    rows_per_band = n_hashes // n_bands
+    sig = minhash_signatures(shingles(df, id_col, text_col, k), n_hashes)
+    band_cols = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bucket"),
+            )
+        )
+    buckets = sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """→ (id_a, id_b, jaccard) exact shingle-set Jaccard ≥ threshold.
+
+    Without `candidates`, pairs come from the shingle equi-join (docs sharing
+    ≥1 shingle) — exact but O(Σ df²) in the worst case; pass LSH candidates
+    to bound it at scale."""
+    sh = shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, n_bits: int = 60
+) -> DataFrame:
+    """→ (id, simhash) tf-weighted 60-bit SimHash.
+
+    bit_j(doc) = 1 if Σ_terms tf·(2·bit_j(h(term)) − 1) > 0. Built entirely
+    from shifts/sums — identical SQL exists."""
+    tokens = df.select(
+        F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = tokens.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    h = tf.withColumn("h", base_hash_col(F.col("term")))
+    bit_sums = h.groupBy("id").agg(
+        *[
+            F.sum(
+                F.col("tf")
+                * (F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s_{j}")
+            for j in range(n_bits)
+        ]
+    )
+    fp = bit_sums.select(
+        "id",
+        sum(
+            [
+                F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+                for j in range(n_bits)
+            ],
+            F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    return fp
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """→ (text_hash, n_copies, keep_id): md5 content groups, min-id survivor."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.count("*").alias("n_copies"), F.min(id_col).alias("keep_id")
+    )

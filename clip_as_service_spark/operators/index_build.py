@@ -40,14 +40,14 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
 from .. import B, K1
-from ..functions.codec import BLOCK_SIZE, encode_posting_block, impact_weights
+from ..functions.codec import BLOCK_SIZE, encode_posting_blocks, impact_weights
 from ..sources.tables import IndexStorage
 from . import tokenize as tok
 
 BLOCKS_SCHEMA = (
     "term string, shard int, salt int, block_id int, n int, "
-    "first_doc long, last_doc long, max_w double, "
-    "docs binary, tfs binary, dls binary"
+    "first_doc long, last_doc long, max_w double, idf double, "
+    "bytes int, docs binary, tfs binary, dls binary"
 )
 
 
@@ -93,25 +93,48 @@ def build_index(
     # -- stage 1: postings checkpoint --------------------------------------
     if not store.exists("postings"):
         t0 = time.perf_counter()
-        with_ids = tok.assign_doc_ids(pages, method=meta["doc_id_method"])
+        # the tokenizer is CPU-bound Python: make sure the scan fans out to
+        # every core even when the input is a handful of parquet splits
+        # (maxPartitionBytes would otherwise coalesce a small corpus into
+        # fewer tasks than cores; at 100 TB the file count dominates and
+        # this repartition is a no-op branch)
+        target_par = spark.sparkContext.defaultParallelism * 2
+        pruned = pages.select("url", F.col(text_col))  # shed html before any shuffle
+        if pruned.rdd.getNumPartitions() < target_par:
+            pruned = pruned.repartition(target_par)
+        with_ids = tok.assign_doc_ids(pruned, method=meta["doc_id_method"])
         postings = tok.build_postings(with_ids, text_col=text_col)
-        store.write(postings, "postings")
+        store.write(postings, "postings")  # narrow plan: scan→UDF→explode→write
         _log(spark, store, "postings", t0)
 
     postings = store.read(spark, "postings")
 
+    # -- stage 1b: per-doc lengths (tiny; lets stats avoid re-grouping the
+    # full postings table by doc_id) -----------------------------------------
+    if not store.exists("doclens"):
+        t0 = time.perf_counter()
+        doclens = postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+        store.write(doclens, "doclens")
+        _log(spark, store, "doclens", t0)
+
     # -- stage 2: corpus stats ---------------------------------------------
     if not store.exists("stats"):
         t0 = time.perf_counter()
-        per_doc = postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-        stats = per_doc.agg(
-            F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
-        ).withColumn("avgdl", F.col("total_dl") / F.col("n_docs"))
+        stats = (
+            store.read(spark, "doclens")
+            .agg(F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl"))
+            .withColumn("avgdl", F.col("total_dl") / F.col("n_docs"))
+        )
         store.write(stats, "stats")
         _log(spark, store, "stats", t0)
 
     stats_row = store.read(spark, "stats").collect()[0]
     n_docs, avgdl = int(stats_row["n_docs"]), float(stats_row["avgdl"])
+    if "n_docs" not in meta:
+        # denormalize corpus stats into _meta.json: the query driver then
+        # needs NO stats read (single-job interactive search)
+        meta.update({"n_docs": n_docs, "avgdl": avgdl})
+        store.write_meta(meta)
 
     # -- stage 3: term dictionary (df + idf) --------------------------------
     if not store.exists("termdf"):
@@ -135,6 +158,10 @@ def build_index(
             "term",
             F.ceil(F.col("df") / F.lit(target)).cast("int").alias("n_salts"),
         )
+        # denormalize idf onto every posting row (→ every block row): the
+        # query path then never touches the dictionary table. idf is one
+        # float64 per term — negligible in the compressed block layout.
+        postings = postings.join(tdf.select("term", "idf"), "term")
         p = postings.join(F.broadcast(salted_terms), "term", "left").withColumn(
             "salt",
             F.when(
@@ -147,42 +174,49 @@ def build_index(
         )
 
         def _build_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
-            out: dict[str, list] = {
-                k: []
-                for k in (
-                    "term", "shard", "salt", "block_id", "n", "first_doc",
-                    "last_doc", "max_w", "docs", "tfs", "dls",
-                )
-            }
             term = pdf["term"].iloc[0]
             shard = int(pdf["shard"].iloc[0])
             salt = int(pdf["salt"].iloc[0])
+            idf = float(pdf["idf"].iloc[0])
             order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
             doc_ids = pdf["doc_id"].to_numpy()[order]
             tfs = pdf["tf"].to_numpy()[order]
             dls = pdf["dl"].to_numpy()[order]
-            for b0 in range(0, len(doc_ids), BLOCK_SIZE):
-                d = doc_ids[b0 : b0 + BLOCK_SIZE]
-                t = tfs[b0 : b0 + BLOCK_SIZE]
-                l = dls[b0 : b0 + BLOCK_SIZE]
-                docs_b, tfs_b, dls_b = encode_posting_block(d, t, l)
-                w = impact_weights(t, l, avgdl, K1, B)
-                out["term"].append(term)
-                out["shard"].append(shard)
-                out["salt"].append(salt)
-                out["block_id"].append(b0 // BLOCK_SIZE)
-                out["n"].append(len(d))
-                out["first_doc"].append(int(d[0]))
-                out["last_doc"].append(int(d[-1]))
-                out["max_w"].append(float(np.max(w)))
-                out["docs"].append(docs_b)
-                out["tfs"].append(tfs_b)
-                out["dls"].append(dls_b)
-            return pd.DataFrame(out)
+            n = len(doc_ids)
+            docs_b, tfs_b, dls_b = encode_posting_blocks(doc_ids, tfs, dls)
+            w = impact_weights(tfs, dls, avgdl, K1, B)
+            starts = np.arange(0, n, BLOCK_SIZE)
+            ends = np.minimum(starts + BLOCK_SIZE, n)
+            max_w = np.maximum.reduceat(w, starts)
+            return pd.DataFrame(
+                {
+                    "term": np.repeat(np.array([term], dtype=object), len(starts)),
+                    "shard": np.full(len(starts), shard, dtype=np.int32),
+                    "salt": np.full(len(starts), salt, dtype=np.int32),
+                    "block_id": np.arange(len(starts), dtype=np.int32),
+                    "n": (ends - starts).astype(np.int32),
+                    "first_doc": doc_ids[starts],
+                    "last_doc": doc_ids[ends - 1],
+                    "max_w": max_w,
+                    "idf": np.full(len(starts), idf, dtype=np.float64),
+                    "bytes": np.array(
+                        [len(a) + len(b) + len(c) for a, b, c in zip(docs_b, tfs_b, dls_b)],
+                        dtype=np.int32,
+                    ),
+                    "docs": docs_b,
+                    "tfs": tfs_b,
+                    "dls": dls_b,
+                }
+            )
 
         blocks = p.groupBy("term", "salt").applyInPandas(
             _build_blocks, schema=BLOCKS_SCHEMA
         )
+        # co-locate each shard before the partitioned write: one task per
+        # shard dir instead of every task appending to every dir (the
+        # dynamic-partition write otherwise fans out tasks×shards files and
+        # scales negatively with cores)
+        blocks = blocks.repartition("shard")
         store.write(blocks, "blocks", partition_by=["shard"])
         _log(spark, store, "blocks", t0, per_shard=True)
 
@@ -200,11 +234,10 @@ def _log(
     wall_ms = int((time.perf_counter() - t0) * 1000)
     df = store.read(spark, stage)
     if per_shard and "shard" in df.columns:
+        # `bytes` is a plain int column written by the block builder, so the
+        # metrics pass reads two small columns — never the binary payloads
         sizes = df.groupBy("shard").agg(
-            F.count("*").alias("rows"),
-            F.sum(
-                F.length("docs") + F.length("tfs") + F.length("dls")
-            ).alias("bytes"),
+            F.count("*").alias("rows"), F.sum("bytes").alias("bytes")
         )
         log = sizes.select(
             F.lit(stage).alias("stage"),

@@ -49,17 +49,29 @@ def tokenize_pages(pages_with_ids: DataFrame, text_col: str = "text") -> DataFra
 
 
 def build_postings(pages_with_ids: DataFrame, text_col: str = "text") -> DataFrame:
-    """→ postings rows (term, doc_id, tf, dl).
+    """→ postings rows (term, doc_id, tf, dl) — SHUFFLE-FREE.
 
-    dl (doc length in tokens) is denormalized onto every posting row at build
-    time so the query path never joins an N-row doc-length table
-    (standard impact-ordered-index practice; SURVEY.md §7 M1).
+    tf and dl are per-document quantities, counted inside the tokenize UDF
+    (tokenize_tf_udf), so the plan is scan → ArrowEvalPython → explode: no
+    exchange at all. dl is denormalized onto every posting row so the query
+    path never joins an N-row doc-length table (standard impact-ordered-index
+    practice; SURVEY.md §7 M1).
     """
-    tokens = tokenize_pages(pages_with_ids, text_col)
-    exploded = tokens.select(
-        "doc_id", F.size("terms").alias("dl"), F.explode("terms").alias("term")
+    from ..functions.text import tokenize_tf_udf
+
+    toks = pages_with_ids.select(
+        "doc_id", tokenize_tf_udf(F.col(text_col)).alias("t")
     )
-    return exploded.groupBy("term", "doc_id", "dl").agg(F.count("*").alias("tf"))
+    return toks.select(
+        "doc_id",
+        F.col("t.dl").alias("dl"),
+        F.explode(F.arrays_zip("t.terms", "t.tfs")).alias("p"),
+    ).select(
+        F.col("p.terms").alias("term"),
+        "doc_id",
+        F.col("p.tfs").alias("tf"),
+        "dl",
+    )
 
 
 def corpus_stats(postings: DataFrame) -> dict:

@@ -518,6 +518,403 @@ FROM events GROUP BY date_trunc('hour', ts), event_type
 
 
 # ---------------------------------------------------------------------------
+# Dedup family (operators/dedup.py) — MinHash+LSH, SimHash, n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+N_HASHES = 8
+N_BANDS = 4
+_ROWS_PER_BAND = N_HASHES // N_BANDS
+SHINGLE_K = 3
+SIMHASH_BITS = 60
+
+from ..operators import dedup as _dd  # noqa: E402
+from ..operators import similarity as _sim  # noqa: E402
+
+_SQL_SHINGLES = f"""
+SELECT DISTINCT id, array_to_string(t[i+1:i+{SHINGLE_K}], ' ') AS shingle FROM (
+  SELECT doc_id AS id, t,
+         unnest(range(greatest(len(t) - {SHINGLE_K - 1}, 0))) AS i
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+"""
+
+_SQL_SHINGLE_HASH = f"""
+SELECT id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+FROM ({_SQL_SHINGLES})
+"""
+
+_SQL_SHINGLE_HASH40 = f"""
+SELECT id, ('0x' || substr(md5(shingle), 1, 10))::BIGINT AS h
+FROM ({_SQL_SHINGLES})
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return _dd.lsh_candidate_pairs(
+        docs, "doc_id", "text", k=SHINGLE_K, n_hashes=N_HASHES, n_bands=N_BANDS
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+
+
+def _sql_minhash_sig() -> str:
+    mins = ", ".join(
+        f"min(({_dd.HASH_A[i]} * h + {_dd.HASH_B[i]}) % {_dd.MOD_P}) AS mh_{i}"
+        for i in range(N_HASHES)
+    )
+    return f"SELECT id, {mins} FROM ({_SQL_SHINGLE_HASH40}) GROUP BY id"
+
+
+def _sql_bands() -> str:
+    selects = []
+    for b in range(N_BANDS):
+        cols = [f"mh_{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)]
+        concat = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        selects.append(
+            f"SELECT id, {b} AS band, md5({concat}) AS bucket FROM sig"
+        )
+    return " UNION ALL ".join(selects)
+
+
+SQL_DEDUP_MINHASH_LSH = f"""
+WITH sig AS ({_sql_minhash_sig()}),
+bands AS ({_sql_bands()})
+SELECT DISTINCT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return _dd.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=SHINGLE_K, threshold=0.05
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.id_a = sa.id
+JOIN sizes sb ON inter.id_b = sb.id
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.05
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return _dd.simhash_fingerprints(docs, "doc_id", "text", n_bits=SIMHASH_BITS).select(
+        F.col("id").cast("long").alias("doc_id"), "simhash"
+    )
+
+
+def _sql_simhash() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN sum(tf * (((h >> {j}) & 1) * 2 - 1)) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tf AS (
+  SELECT doc_id AS id, term, count(*) AS tf
+  FROM ({_SQL_TOKENS} ) GROUP BY doc_id, term),
+h AS (SELECT id, tf, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tf)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST({terms} AS BIGINT) AS simhash
+FROM h GROUP BY id
+"""
+
+
+SQL_DEDUP_SIMHASH = _sql_simhash()
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+ANN_N_QUERIES = 5
+ANN_K = 10
+LSH_BITS = 8
+
+_SQL_EMB_COMPONENTS = """
+SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v FROM (
+  SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings)
+"""
+
+_SQL_COSINE_PAIRS_BASE = f"""
+WITH comp AS ({_SQL_EMB_COMPONENTS}),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM comp GROUP BY vec_id),
+dots AS (
+  SELECT q.vec_id AS qid, d.vec_id AS did, sum(q.v * d.v) AS dot
+  FROM comp q JOIN comp d ON q.i = d.i
+  WHERE q.vec_id < {ANN_N_QUERIES}
+  GROUP BY q.vec_id, d.vec_id),
+cos AS (
+  SELECT qid, did, dot / (nq.nrm * nd.nrm) AS cosine
+  FROM dots JOIN norms nq ON dots.qid = nq.vec_id
+            JOIN norms nd ON dots.did = nd.vec_id)
+"""
+
+
+def _ann_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = _sim.cosine_topk(emb, _ann_queries(spark, sf_dir), k=ANN_K)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cosine"), 9)), F.asc("vec_id")
+    )
+    # re-rank on rounded cosine for cross-engine stability
+    return (
+        out.drop("rank")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            F.round("cosine", 4).alias("cosine"),
+        )
+    )
+
+
+SQL_ANN_COSINE_TOPK = f"""
+{_SQL_COSINE_PAIRS_BASE}
+, ranked AS (
+  SELECT qid AS query_id, did AS vec_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(cosine, 9) DESC, did) AS rank,
+         round(cosine, 4) AS cosine
+  FROM cos)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id, cosine
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+def q_ann_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = _sim.bucketed_topk(
+        emb, _ann_queries(spark, sf_dir), k=ANN_K, n_bits=LSH_BITS
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cosine"), 9)), F.asc("vec_id")
+    )
+    return (
+        out.drop("rank")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            F.round("cosine", 4).alias("cosine"),
+        )
+    )
+
+
+def _sql_bucket(tbl_alias: str = "") -> str:
+    pre = f"{tbl_alias}." if tbl_alias else ""
+    bits = " + ".join(
+        f"(CASE WHEN {pre}embedding[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(LSH_BITS)
+    )
+    return f"({bits})"
+
+
+SQL_ANN_BUCKETED_TOPK = f"""
+WITH bkt AS (SELECT vec_id, {_sql_bucket()} AS bucket FROM embeddings),
+comp AS ({_SQL_EMB_COMPONENTS}),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM comp GROUP BY vec_id),
+dots AS (
+  SELECT q.vec_id AS qid, d.vec_id AS did, sum(q.v * d.v) AS dot
+  FROM comp q
+  JOIN bkt bq ON q.vec_id = bq.vec_id
+  JOIN bkt bd ON bq.bucket = bd.bucket
+  JOIN comp d ON d.vec_id = bd.vec_id AND q.i = d.i
+  WHERE q.vec_id < {ANN_N_QUERIES}
+  GROUP BY q.vec_id, d.vec_id),
+cos AS (
+  SELECT qid, did, dot / (nq.nrm * nd.nrm) AS cosine
+  FROM dots JOIN norms nq ON dots.qid = nq.vec_id
+            JOIN norms nd ON dots.did = nd.vec_id),
+ranked AS (
+  SELECT qid AS query_id, did AS vec_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(cosine, 9) DESC, did) AS rank,
+         round(cosine, 4) AS cosine
+  FROM cos)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id, cosine
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.cosine_pairs(emb, threshold=0.3, n_bits=LSH_BITS).select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+    )
+
+
+SQL_EMBEDDING_COSINE_PAIRS = f"""
+WITH bkt AS (SELECT vec_id, {_sql_bucket()} AS bucket FROM embeddings),
+comp AS ({_SQL_EMB_COMPONENTS}),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM comp GROUP BY vec_id),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+dots AS (
+  SELECT c.id_a, c.id_b, sum(x.v * y.v) AS dot
+  FROM cand c
+  JOIN comp x ON x.vec_id = c.id_a
+  JOIN comp y ON y.vec_id = c.id_b AND x.i = y.i
+  GROUP BY c.id_a, c.id_b)
+SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+FROM dots JOIN norms na ON dots.id_a = na.vec_id
+          JOIN norms nb ON dots.id_b = nb.vec_id
+WHERE dot / (na.nrm * nb.nrm) >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis family
+# ---------------------------------------------------------------------------
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-hash fingerprint: (min, max, count) over k-gram hashes —
+    a 1-permutation MinHash sketch usable as a cheap near-dup key."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = _dd.shingles(docs, "doc_id", "text", k=SHINGLE_K)
+    h = sh.select("id", _dd.base_hash_col(F.col("shingle")).alias("h"))
+    return h.groupBy("id").agg(
+        F.min("h").alias("min_h"),
+        F.max("h").alias("max_h"),
+        F.count("*").alias("n_shingles"),
+    ).select(F.col("id").cast("long").alias("doc_id"), "min_h", "max_h", "n_shingles")
+
+
+SQL_DOC_FINGERPRINT = f"""
+SELECT CAST(id AS BIGINT) AS doc_id, min(h) AS min_h, max(h) AS max_h,
+       CAST(count(*) AS BIGINT) AS n_shingles
+FROM ({_SQL_SHINGLE_HASH}) GROUP BY id
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: CJK chars → zh; English stopword hit → en;
+    otherwise other. (The reference sniffs modality per doc the same
+    branch-on-content way, executors/helper.py:82-86.)"""
+    docs = _t(spark, sf_dir, "documents")
+    has_cjk = F.col("text").rlike("[\\u4e00-\\u9fff]")
+    has_en = F.col("text").rlike("(^| )(the|a|of|and)( |$)")
+    return docs.select(
+        "doc_id",
+        F.when(has_cjk, F.lit("zh"))
+        .when(has_en, F.lit("en"))
+        .otherwise(F.lit("other"))
+        .alias("lang_pred"),
+    )
+
+
+SQL_LANG_ID = r"""
+SELECT doc_id,
+       CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+            WHEN regexp_matches(text, '(^| )(the|a|of|and)( |$)') THEN 'en'
+            ELSE 'other' END AS lang_pred
+FROM documents
+"""
+
+
+def q_token_count_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-length histogram (50-token buckets)."""
+    tokens = _doc_tokens(spark, sf_dir)
+    dl = tokens.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    return (
+        dl.select(F.floor(F.col("dl") / 50).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_TOKEN_COUNT_HIST = f"""
+SELECT CAST(floor(dl / 50) AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n_docs
+FROM ({_SQL_DL}) GROUP BY 1
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap per user (lag + cumulative sum
+    windows — the stateful-streaming op in its batch form)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = lagged.withColumn(
+        "session_id",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("value_sum"),
+    ).select(
+        "user_id",
+        F.col("session_id").cast("int").alias("session_id"),
+        "n_events",
+        "value_sum",
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH lagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM lagged)
+SELECT user_id, CAST(session_id AS INT) AS session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS value_sum
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -537,6 +934,16 @@ REGISTRY: dict[str, tuple] = {
     "top_orders_per_customer": (q_top_orders_per_customer, SQL_TOP_ORDERS_PER_CUSTOMER),
     "customer_order_totals": (q_customer_order_totals, SQL_CUSTOMER_ORDER_TOTALS),
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "ann_bucketed_topk": (q_ann_bucketed_topk, SQL_ANN_BUCKETED_TOPK),
+    "embedding_cosine_pairs": (q_embedding_cosine_pairs, SQL_EMBEDDING_COSINE_PAIRS),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "token_count_hist": (q_token_count_hist, SQL_TOKEN_COUNT_HIST),
+    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
 }
 
 

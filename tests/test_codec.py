@@ -88,6 +88,30 @@ def test_gap_one_runs_and_single_doc():
     assert (d1[0], t1[0], l1[0]) == (7, 3, 9)
 
 
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=2**40),
+        min_size=1,
+        max_size=700,
+        unique=True,
+    )
+)
+def test_multiblock_encode_equals_per_block(ids):
+    ids.sort()
+    doc_ids = np.array(ids, dtype=np.int64)
+    rng = np.random.default_rng(3)
+    tfs = rng.integers(1, 100, size=len(ids))
+    dls = rng.integers(1, 5000, size=len(ids))
+    from clip_as_service_spark.functions.codec import encode_posting_blocks
+
+    docs_b, tfs_b, dls_b = encode_posting_blocks(doc_ids, tfs, dls)
+    for i, s in enumerate(range(0, len(ids), BLOCK_SIZE)):
+        chunk = slice(s, s + BLOCK_SIZE)
+        exp = encode_posting_block(doc_ids[chunk], tfs[chunk], dls[chunk])
+        assert (docs_b[i], tfs_b[i], dls_b[i]) == exp
+
+
 def test_block_max_admissible():
     # per-block max weight is ≥ every true weight in block (WAND admissibility)
     rng = np.random.default_rng(7)
