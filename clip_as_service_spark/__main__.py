@@ -1,0 +1,130 @@
+"""CLI — the engine's `spark-submit --py-files` entry point (north rule),
+mirroring the reference's `python -m clip_server <flow.yml>` single-entry
+style (reference server/clip_server/__main__.py:13-26).
+
+    python -m clip_as_service_spark build  --input pages.parquet --out ./idx
+    python -m clip_as_service_spark search --index ./idx --query "hello world" -k 10
+    python -m clip_as_service_spark search --index ./idx --queries-tsv qs.tsv
+    python -m clip_as_service_spark stats  --index ./idx
+
+Under spark-submit the active session is reused; standalone it builds a
+local one (SPARK_GRAFT_MASTER / SPARK_GRAFT_CPUS env override).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from .session import get_spark
+
+    return get_spark(
+        app_name=f"cas-spark-{args.cmd}",
+        master=getattr(args, "master", None),
+    )
+
+
+def cmd_build(args) -> int:
+    spark = _spark(args)
+    spark.sparkContext.setLogLevel("WARN")
+    pages = spark.read.parquet(args.input)
+    from .operators.index_build import build_index
+
+    build_index(
+        spark,
+        pages,
+        args.out,
+        n_shards=args.n_shards,
+        salt_cutoff=args.salt_cutoff,
+        doc_id_method=args.doc_id_method,
+    )
+    from .sources.tables import IndexStorage
+
+    log = IndexStorage(args.out).read(spark, "build_log")
+    for r in log.orderBy("stage", "shard").collect():
+        print(json.dumps(r.asDict()))
+    return 0
+
+
+def cmd_search(args) -> int:
+    spark = _spark(args)
+    spark.sparkContext.setLogLevel("WARN")
+    from .operators.wand import IndexReader
+
+    reader = IndexReader(spark, args.index, engine=args.engine)
+    queries: list[tuple[str, str]] = []
+    if args.query:
+        queries.append(("q0", args.query))
+    if args.queries_tsv:
+        with open(args.queries_tsv) as fh:
+            for line in fh:
+                qid, _, text = line.rstrip("\n").partition("\t")
+                queries.append((qid, text))
+    if not queries:
+        print("no query given (use --query or --queries-tsv)", file=sys.stderr)
+        return 2
+    for qid, text in queries:
+        for rank, doc_id, score in reader.search(text, k=args.k):
+            print(json.dumps({"query": qid, "rank": rank, "doc_id": doc_id, "score": score}))
+    return 0
+
+
+def cmd_stats(args) -> int:
+    spark = _spark(args)
+    spark.sparkContext.setLogLevel("WARN")
+    from .sources.tables import IndexStorage
+
+    store = IndexStorage(args.index)
+    meta = store.read_meta()
+    blocks = store.read(spark, "blocks")
+    agg = blocks.agg(
+        {"bytes": "sum", "n": "sum", "term": "approx_count_distinct"}
+    ).collect()[0]
+    print(
+        json.dumps(
+            {
+                **meta,
+                "block_rows": blocks.count(),
+                "compressed_bytes": int(agg["sum(bytes)"]),
+                "postings": int(agg["sum(n)"]),
+                "approx_terms": int(agg["approx_count_distinct(term)"]),
+            }
+        )
+    )
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="clip_as_service_spark")
+    p.add_argument("--master", default=None, help="spark master override")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--input", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--n-shards", type=int, default=32)
+    b.add_argument("--salt-cutoff", type=int, default=50_000)
+    b.add_argument("--doc-id-method", default="hash", choices=["hash", "row_number"])
+    b.set_defaults(fn=cmd_build)
+
+    s = sub.add_parser("search", help="BM25 top-k search")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query")
+    s.add_argument("--queries-tsv")
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--engine", default="pyarrow", choices=["pyarrow", "spark"])
+    s.set_defaults(fn=cmd_search)
+
+    t = sub.add_parser("stats", help="index statistics")
+    t.add_argument("--index", required=True)
+    t.set_defaults(fn=cmd_stats)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

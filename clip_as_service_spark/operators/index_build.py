@@ -215,8 +215,13 @@ def build_index(
         # co-locate each shard before the partitioned write: one task per
         # shard dir instead of every task appending to every dir (the
         # dynamic-partition write otherwise fans out tasks×shards files and
-        # scales negatively with cores)
-        blocks = blocks.repartition("shard")
+        # scales negatively with cores). Sort within each shard file by
+        # (term, salt, block_id): parquet page/row-group min-max stats on
+        # `term` become selective, so query-time term lookups skip row
+        # groups instead of scanning the shard.
+        blocks = blocks.repartition("shard").sortWithinPartitions(
+            "term", "salt", "block_id"
+        )
         store.write(blocks, "blocks", partition_by=["shard"])
         _log(spark, store, "blocks", t0, per_shard=True)
 

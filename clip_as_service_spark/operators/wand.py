@@ -175,30 +175,106 @@ def _cursors_from_rows(rows, env: tuple) -> list[_Cursor]:
 
 
 class IndexReader:
-    """Warm handle on an index for low-latency interactive search."""
+    """Warm handle on an index for low-latency interactive search.
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    Default engine is a direct pyarrow dataset read — shard-dir partition
+    pruning + term row-group skipping in C++, zero Spark jobs per query
+    (the reference serves interactive search from a resident AnnLite index
+    the same way, retriever.md:117-136). Works wherever the driver can read
+    the index store (local disk here; object store on a cluster). Pass
+    ``engine="spark"`` to route the scan through Spark instead. Decoded
+    term cursors are memoized across queries (head terms repeat)."""
+
+    def __init__(self, spark: SparkSession | None, index_dir: str, engine: str = "pyarrow"):
         self.spark = spark
         self.store = IndexStorage(index_dir)
         self.meta = self.store.read_meta()
         self.env = (self.meta["avgdl"], self.meta["k1"], self.meta["b"])
-        self.blocks = self.store.read(spark, "blocks")
+        self.engine = engine
+        self._term_rows_cache: dict[str, list] = {}
+        if engine == "pyarrow":
+            import pyarrow.dataset as pads
+
+            self._ds = pads.dataset(
+                self.store.path("blocks"), format="parquet", partitioning="hive"
+            )
+            self.blocks = None
+        else:
+            self._ds = None
+            self.blocks = self.store.read(spark, "blocks")
+
+    def _fetch_rows(self, terms: list[str]) -> list:
+        missing = [t for t in terms if t not in self._term_rows_cache]
+        if missing:
+            shards = sorted({term_shard(t, self.meta["n_shards"]) for t in missing})
+            if self.engine == "pyarrow":
+                import pyarrow.compute as pc
+
+                tbl = self._ds.to_table(
+                    filter=pc.field("shard").isin(shards)
+                    & pc.field("term").isin(missing)
+                )
+                fetched = _arrow_rows(tbl)
+            else:
+                fetched = self.blocks.where(
+                    F.col("shard").isin(shards) & F.col("term").isin(missing)
+                ).collect()
+            for t in missing:
+                self._term_rows_cache[t] = []
+            for row in fetched:
+                self._term_rows_cache[row.term].append(row)
+        out = []
+        for t in terms:
+            out.extend(self._term_rows_cache.get(t, []))
+        return out
 
     def search(self, text: str, k: int = 10) -> list[tuple[int, int, float]]:
         """→ [(rank, doc_id, score)] — exact BM25 top-k for one query."""
         terms = sorted(set(tokenize_words(text)))
         if not terms:
             return []
-        shards = sorted({term_shard(t, self.meta["n_shards"]) for t in terms})
-        rows = (
-            self.blocks.where(
-                F.col("shard").isin(shards) & F.col("term").isin(terms)
-            )
-            .collect()
-        )
+        rows = self._fetch_rows(terms)
         if not rows:
             return []
         return wand_topk(_cursors_from_rows(rows, self.env), k)
+
+
+class _ArrowRow:
+    __slots__ = (
+        "term", "salt", "block_id", "n", "first_doc", "last_doc",
+        "max_w", "idf", "docs", "tfs", "dls",
+    )
+
+    def __init__(self, term, salt, block_id, n, first_doc, last_doc, max_w, idf, docs, tfs, dls):
+        self.term = term
+        self.salt = salt
+        self.block_id = block_id
+        self.n = n
+        self.first_doc = first_doc
+        self.last_doc = last_doc
+        self.max_w = max_w
+        self.idf = idf
+        self.docs = docs
+        self.tfs = tfs
+        self.dls = dls
+
+
+def _arrow_rows(tbl) -> list[_ArrowRow]:
+    cols = {
+        name: tbl.column(name).to_pylist()
+        for name in (
+            "term", "salt", "block_id", "n", "first_doc", "last_doc",
+            "max_w", "idf", "docs", "tfs", "dls",
+        )
+    }
+    return [
+        _ArrowRow(
+            cols["term"][i], cols["salt"][i], cols["block_id"][i], cols["n"][i],
+            cols["first_doc"][i], cols["last_doc"][i], cols["max_w"][i],
+            cols["idf"][i], cols["docs"][i], cols["tfs"][i], cols["dls"][i],
+        )
+        for i in range(tbl.num_rows)
+    ]
 
 
 # ---------------------------------------------------------------------------

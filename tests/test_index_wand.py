@@ -63,14 +63,18 @@ def test_exploded_exact_topk(spark, index_dir, oracle):
     _assert_matches_oracle(got, oracle)
 
 
-def test_index_reader_interactive_exact(spark, index_dir, oracle):
-    reader = wand.IndexReader(spark, index_dir)
+@pytest.mark.parametrize("engine", ["pyarrow", "spark"])
+def test_index_reader_interactive_exact(spark, index_dir, oracle, engine):
+    reader = wand.IndexReader(spark, index_dir, engine=engine)
     for q in fixtures.make_queries()[:20]:
         expected = oracle.topk(q["text"], k=K)
         got = reader.search(q["text"], k=K)
         assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in expected]
         for (_, _, se), (_, _, sg) in zip(expected, got):
             assert sg == pytest.approx(se, rel=1e-12)
+    # memoized term cursors answer repeat queries identically
+    q0 = fixtures.make_queries()[0]
+    assert reader.search(q0["text"], k=K) == reader.search(q0["text"], k=K)
 
 
 def test_salting_created_sublists(spark, index_dir):
