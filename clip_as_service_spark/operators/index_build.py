@@ -264,3 +264,72 @@ def _log(
 
 def iter_build_log(spark: SparkSession, store: IndexStorage):
     return store.read(spark, "build_log").collect()
+
+
+def merge_indexes(
+    spark: SparkSession,
+    input_dirs: list[str],
+    out_dir: str,
+    n_shards: int = 16,
+    salt_cutoff: int = 50_000,
+    target_sublist: int = 50_000,
+) -> IndexStorage:
+    """Hierarchical merge: N partial indexes → one index (north rule).
+
+    Partial builds (e.g. per ingest batch, per corpus partition) each carry a
+    durable stage-1 postings checkpoint; merging unions those WITHOUT
+    re-tokenizing (the expensive Python stage) and re-derives the global
+    stages — corpus stats, idf, and re-blocked posting lists — because BM25
+    weights depend on corpus-wide N/avgdl/df. unionByName is the shard-merge
+    op (SURVEY.md §2.7); everything downstream reuses the single-build path,
+    so the merged index is bit-identical to a from-scratch build over the
+    union of pages (asserted in tests).
+
+    doc_ids must be content-derived (doc_id_method='hash') for merge to be
+    meaningful across partial builds; duplicate urls across parts are the
+    caller's contract (streaming dedup handles the ingest case)."""
+    store = IndexStorage(out_dir)
+    parts = [IndexStorage(d) for d in input_dirs]
+    metas = [p.read_meta() for p in parts]
+    if any(m["doc_id_method"] != "hash" for m in metas):
+        raise ValueError("merge requires content-derived doc ids (hash)")
+    if not store.has_meta():
+        store.write_meta(
+            {
+                "n_shards": n_shards,
+                "block_size": BLOCK_SIZE,
+                "k1": K1,
+                "b": B,
+                "salt_cutoff": salt_cutoff,
+                "target_sublist": target_sublist,
+                "doc_id_method": "hash",
+                "merged_from": [p.root for p in parts],
+                "version": 1,
+            }
+        )
+    if not store.exists("postings"):
+        t0 = time.perf_counter()
+        merged = None
+        for p in parts:
+            df = p.read(spark, "postings")
+            merged = df if merged is None else merged.unionByName(df)
+        store.write(merged, "postings")
+        _log(spark, store, "postings", t0)
+    # stages 2-4 re-derive global stats/idf/blocks over the merged postings;
+    # build_index skips stage 1 because its checkpoint now exists
+    return _resume_from_postings(spark, store)
+
+
+def _resume_from_postings(spark: SparkSession, store: IndexStorage) -> IndexStorage:
+    """Run stages 1b-4 for an index whose postings checkpoint exists."""
+
+    class _NoPages:
+        def __getattr__(self, item):  # pragma: no cover - must never be touched
+            raise AssertionError("pages must not be read when postings exist")
+
+    return build_index(
+        spark,
+        _NoPages(),  # type: ignore[arg-type]
+        store.root,
+        n_shards=store.read_meta()["n_shards"],
+    )

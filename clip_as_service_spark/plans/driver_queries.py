@@ -517,6 +517,87 @@ FROM events GROUP BY date_trunc('hour', ts), event_type
 """
 
 
+def q_rank_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference /rank verb (client.py:456-539, executors/helper.py:89-124):
+    score a FIXED candidate set per query (not the whole corpus), sort desc.
+    Candidates here: doc_id ≡ query_id (mod 50) — a deterministic restriction."""
+    scores = _bm25_scores(spark, sf_dir)
+    cand = scores.filter(F.col("doc_id") % 50 == F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).select(
+        "query_id",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+SQL_RANK_CANDIDATES = f"""
+{_SQL_BM25_SCORES}
+SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY round(score, 9) DESC, doc_id) AS INT) AS rank,
+       round(score, 6) AS score
+FROM scored WHERE doc_id % 50 = query_id
+"""
+
+
+def q_explode_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Access-path traversal (P2, '@c' chunks): split each doc into 10-token
+    chunks, explode to child rows, keep per-chunk stats — the normalized
+    form of the reference's nested chunks arrays (tests/test_simple.py:130-151)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.floor((F.size("t") - 1) / 10)),
+                lambda i: F.concat_ws(" ", F.slice("t", i * 10 + 1, 10)),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.length("chunk").alias("chunk_chars"),
+    )
+
+
+SQL_EXPLODE_CHUNKS = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(i AS INT) AS chunk_idx,
+       CAST(length(array_to_string(t[i*10+1:i*10+10], ' ')) AS BIGINT) AS chunk_chars
+FROM (SELECT doc_id, t, unnest(range(CAST(floor((len(t)-1)/10) AS BIGINT) + 1)) AS i
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+"""
+
+
+def q_set_ops_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (§2.7): terms of short docs INTERSECT long docs,
+    EXCEPT stopwords — vocabulary overlap between corpus slices."""
+    tokens = _doc_tokens(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    short_ids = docs.filter(F.col("n_chars") < 300).select("doc_id")
+    long_ids = docs.filter(F.col("n_chars") >= 300).select("doc_id")
+    short_terms = tokens.join(short_ids, "doc_id").select("term").distinct()
+    long_terms = tokens.join(long_ids, "doc_id").select("term").distinct()
+    stop = spark.createDataFrame([(s,) for s in STOPWORDS], "term string")
+    return short_terms.intersect(long_terms).exceptAll(stop)
+
+
+SQL_SET_OPS_TERMS = f"""
+WITH tokens AS ({_SQL_TOKENS}),
+short_terms AS (SELECT DISTINCT term FROM tokens
+                JOIN documents USING (doc_id) WHERE n_chars < 300),
+long_terms AS (SELECT DISTINCT term FROM tokens
+               JOIN documents USING (doc_id) WHERE n_chars >= 300)
+SELECT term FROM short_terms INTERSECT SELECT term FROM long_terms
+EXCEPT SELECT unnest(['a', 'the']) AS term
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup family (operators/dedup.py) — MinHash+LSH, SimHash, n-gram Jaccard
 # ---------------------------------------------------------------------------
@@ -944,6 +1025,9 @@ REGISTRY: dict[str, tuple] = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "token_count_hist": (q_token_count_hist, SQL_TOKEN_COUNT_HIST),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "rank_candidates": (q_rank_candidates, SQL_RANK_CANDIDATES),
+    "explode_chunks": (q_explode_chunks, SQL_EXPLODE_CHUNKS),
+    "set_ops_terms": (q_set_ops_terms, SQL_SET_OPS_TERMS),
 }
 
 

@@ -128,6 +128,36 @@ def test_resume_after_kill(spark, tmp_path, oracle, monkeypatch):
     _assert_matches_oracle(got, oracle)
 
 
+def test_hierarchical_merge_equals_single_build(spark, tmp_path):
+    """Two partial builds merged ≡ one build over the union (hash doc ids)."""
+    pages = fixtures.make_pages(N_PAGES)
+    half = N_PAGES // 2
+
+    def build(rows, out):
+        df = spark.createDataFrame(
+            rows,
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        index_build.build_index(
+            spark, df, out, doc_id_method="hash", **SALT_KW
+        )
+        return out
+
+    a = build(pages[:half], str(tmp_path / "part_a"))
+    b = build(pages[half:], str(tmp_path / "part_b"))
+    full = build(pages, str(tmp_path / "full"))
+    merged = str(tmp_path / "merged")
+    index_build.merge_indexes(
+        spark, [a, b], merged, **SALT_KW
+    )
+
+    queries = fixtures.queries_spark_df(spark)
+    got_m = _collect_topk(wand.search_topk(spark, merged, queries, k=K))
+    got_f = _collect_topk(wand.search_topk(spark, full, queries, k=K))
+    assert got_m == got_f
+    assert len(got_f) > 20
+
+
 def test_index_bitwise_partition_invariance(spark, tmp_path, index_dir):
     """Same input at different parallelism → bit-identical index content."""
     out2 = str(tmp_path / "idx_p2")
