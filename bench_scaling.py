@@ -56,10 +56,10 @@ def build_at(cores: int, pages_path: str, n_docs: int) -> dict:
     # + parquet codecs once, like the reference benchmark drops its first
     # two iterations (reference scripts/benchmark.py:84)
     index_build.build_index(
-        spark, pages.limit(2000), f"{out}_warm", n_shards=8, doc_id_method="hash"
+        spark, pages.limit(2000), f"{out}_warm", n_shards=8, doc_id_method="dense"
     )
     t0 = time.perf_counter()
-    index_build.build_index(spark, pages, out, n_shards=32, doc_id_method="hash")
+    index_build.build_index(spark, pages, out, n_shards=32, doc_id_method="dense")
     build_sec = time.perf_counter() - t0
 
     reader = wand.IndexReader(spark, out)

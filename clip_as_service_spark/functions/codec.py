@@ -55,10 +55,14 @@ def vbyte_encode(values: np.ndarray) -> bytes:
 
 def vbyte_decode(data: bytes, n: int) -> np.ndarray:
     """Decode exactly n values → int64 array. Vectorized: group bytes by
-    value id (cumsum over terminal-byte markers)."""
+    value id (cumsum over terminal-byte markers). Fast path: an all-terminal
+    buffer (every value < 128 — the common case for dense doc-gap lists)
+    decodes with a single mask."""
     if n == 0:
         return np.zeros(0, dtype=np.int64)
     raw = np.frombuffer(data, dtype=np.uint8)
+    if len(raw) == n:  # every byte terminal ⇒ all values single-byte
+        return (raw & np.uint8(0x7F)).astype(np.int64)
     is_terminal = (raw & 0x80) == 0
     # value id of each byte = count of terminals strictly before it
     value_id = np.concatenate(([0], np.cumsum(is_terminal)[:-1]))
@@ -91,6 +95,34 @@ def encode_posting_block(
         vbyte_encode(np.asarray(tfs, dtype=np.int64)),
         vbyte_encode(np.asarray(dls, dtype=np.int64)),
     )
+
+
+def encode_doc_gap_blocks(
+    doc_ids: np.ndarray, block_size: int = BLOCK_SIZE
+) -> list[bytes]:
+    """Delta-gap + vByte encode a sorted doc-id list into per-block buffers,
+    one vectorized pass (block-local gap restart; see encode_posting_blocks)."""
+    n = len(doc_ids)
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    starts = np.arange(0, n, block_size)
+    gaps = np.empty_like(doc_ids)
+    gaps[0] = doc_ids[0]
+    gaps[1:] = np.diff(doc_ids)
+    gaps[starts] = doc_ids[starts]
+    buf = vbyte_encode(gaps)
+    v = gaps.astype(np.uint64)
+    nbits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        nbits[nz] += 1
+        tmp = tmp >> np.uint64(7)
+    nbytes = np.maximum(nbits, 1)
+    ends = np.cumsum(nbytes)
+    bounds = [0] + [int(ends[min(s + block_size, n) - 1]) for s in starts]
+    return [buf[bounds[i] : bounds[i + 1]] for i in range(len(starts))]
 
 
 def encode_posting_blocks(
@@ -137,6 +169,48 @@ def encode_posting_blocks(
         _split(np.asarray(tfs, dtype=np.int64)),
         _split(np.asarray(dls, dtype=np.int64)),
     )
+
+
+def decode_doc_gap_blocks_batch(
+    docs_bufs: list[bytes], ns: np.ndarray
+) -> np.ndarray:
+    """Decode many gap-blocks of one posting list in one pass (carry-reset
+    cumsum; see decode_posting_blocks_batch)."""
+    ns = np.asarray(ns, dtype=np.int64)
+    total = int(ns.sum())
+    gaps = vbyte_decode(b"".join(docs_bufs), total)
+    run = np.cumsum(gaps)
+    starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
+    carry = np.zeros(len(ns), dtype=np.int64)
+    carry[1:] = run[starts[1:] - 1]
+    return run - np.repeat(carry, ns)
+
+
+def decode_posting_blocks_batch(
+    docs_bufs: list[bytes],
+    tfs_bufs: list[bytes],
+    dls_bufs: list[bytes],
+    ns: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode MANY blocks of one posting list in ONE vectorized pass.
+
+    Blocks are independently decodable (each starts with a raw doc id, not a
+    delta), so the concatenated gap stream cumsums with a per-block carry
+    correction instead of per-block Python loops — turns 10k tiny decodes
+    (overhead-bound) into ~6 numpy ops."""
+    ns = np.asarray(ns, dtype=np.int64)
+    total = int(ns.sum())
+    gaps = vbyte_decode(b"".join(docs_bufs), total)
+    run = np.cumsum(gaps)
+    starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
+    # carry = running cumsum just before each block; block-local first value
+    # is raw, so subtract the carry across its whole block
+    carry = np.zeros(len(ns), dtype=np.int64)
+    carry[1:] = run[starts[1:] - 1]
+    docs = run - np.repeat(carry, ns)
+    tfs = vbyte_decode(b"".join(tfs_bufs), total)
+    dls = vbyte_decode(b"".join(dls_bufs), total)
+    return docs, tfs, dls
 
 
 def decode_posting_block(

@@ -87,5 +87,12 @@ def extract_text_udf(blobs: pd.Series) -> pd.Series:
 
 
 def whitespace_clean_col(col: Column) -> Column:
-    """F2 as pure built-ins (JVM-side, codegen): collapse \\s+ → ' ', trim."""
+    """F2 as pure built-ins (JVM-side, codegen): collapse \\s+ → ' ', trim.
+
+    FAST PATH ONLY — not byte-identical to the oracle on non-ASCII
+    whitespace: Python's ``\\s`` matches U+00A0/U+2028/… while Java's is
+    ASCII-only (and Java's ``(?U)\\s`` in turn matches a slightly different
+    set than Python, e.g. U+001C-001F). Pipelines needing the invariant use
+    ``clean_text_udf``; this column is for throughput-only normalization.
+    The divergence is pinned by tests/test_byte_identity.py."""
     return F.trim(F.regexp_replace(col, r"\s+", " "))

@@ -40,14 +40,19 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
 from .. import B, K1
-from ..functions.codec import BLOCK_SIZE, encode_posting_blocks, impact_weights
+from ..functions.codec import BLOCK_SIZE, encode_doc_gap_blocks, impact_weights
 from ..sources.tables import IndexStorage
 from . import tokenize as tok
 
+# Block layout: doc ids are delta-gap + vByte; impact weights w =
+# tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) are precomputed float64 stored raw
+# (np.frombuffer decode — the query path never recomputes BM25 tf-norms;
+# tf/dl stay re-derivable from the postings checkpoint). max_w per block is
+# the WAND bound; idf is denormalized per term.
 BLOCKS_SCHEMA = (
     "term string, shard int, salt int, block_id int, n int, "
     "first_doc long, last_doc long, max_w double, idf double, "
-    "bytes int, docs binary, tfs binary, dls binary"
+    "bytes int, docs binary, ws binary"
 )
 
 
@@ -100,7 +105,12 @@ def build_index(
         # this repartition is a no-op branch)
         target_par = spark.sparkContext.defaultParallelism * 2
         pruned = pages.select("url", F.col(text_col))  # shed html before any shuffle
-        if pruned.rdd.getNumPartitions() < target_par:
+        # dense id assignment range-partitions by url itself — don't add a
+        # redundant round-robin shuffle in front of it
+        if (
+            meta["doc_id_method"] != "dense"
+            and pruned.rdd.getNumPartitions() < target_par
+        ):
             pruned = pruned.repartition(target_par)
         with_ids = tok.assign_doc_ids(pruned, method=meta["doc_id_method"])
         postings = tok.build_postings(with_ids, text_col=text_col)
@@ -183,11 +193,13 @@ def build_index(
             tfs = pdf["tf"].to_numpy()[order]
             dls = pdf["dl"].to_numpy()[order]
             n = len(doc_ids)
-            docs_b, tfs_b, dls_b = encode_posting_blocks(doc_ids, tfs, dls)
+            docs_b = encode_doc_gap_blocks(doc_ids)
             w = impact_weights(tfs, dls, avgdl, K1, B)
             starts = np.arange(0, n, BLOCK_SIZE)
             ends = np.minimum(starts + BLOCK_SIZE, n)
             max_w = np.maximum.reduceat(w, starts)
+            w_le = w.astype("<f8")
+            ws_b = [w_le[s:e].tobytes() for s, e in zip(starts, ends)]
             return pd.DataFrame(
                 {
                     "term": np.repeat(np.array([term], dtype=object), len(starts)),
@@ -200,12 +212,11 @@ def build_index(
                     "max_w": max_w,
                     "idf": np.full(len(starts), idf, dtype=np.float64),
                     "bytes": np.array(
-                        [len(a) + len(b) + len(c) for a, b, c in zip(docs_b, tfs_b, dls_b)],
+                        [len(a) + len(b) for a, b in zip(docs_b, ws_b)],
                         dtype=np.int32,
                     ),
                     "docs": docs_b,
-                    "tfs": tfs_b,
-                    "dls": dls_b,
+                    "ws": ws_b,
                 }
             )
 

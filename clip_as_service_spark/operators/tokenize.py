@@ -24,21 +24,77 @@ from pyspark.sql import functions as F
 from ..functions.text import tokenize_udf
 
 
-def assign_doc_ids(pages: DataFrame, method: str = "row_number") -> DataFrame:
-    """Add a dense int64 ``doc_id`` keyed on url (SURVEY.md §7 locked decision).
+def assign_doc_ids(pages: DataFrame, method: str = "dense") -> DataFrame:
+    """Add an int64 ``doc_id`` keyed on url (SURVEY.md §7 locked decision).
 
-    - ``row_number``: deterministic 1..N by url ascending. One-time global
-      sort — acceptable as a build-time cost and required for the
-      oracle-matching fixtures; the sort is a single SortExec over the url
-      column only (Catalyst prunes the rest until the window).
-    - ``hash``: xxhash64(url) — shuffle-free, the 100 TB default when dense
-      ids aren't required (collision check left to the caller at 10^12 docs:
-      64-bit birthday bound needs monitoring, or widen to (hash, url) keys).
+    - ``dense`` (default): dense 1..N ids in INPUT order, fully narrow —
+      per-partition offsets come from one metadata-only count pass (parquet
+      row counts, no column reads), then doc_id = offset[pid] + in-partition
+      row index (the low 33 bits of monotonically_increasing_id). Zero
+      shuffles. DENSE ids are what make delta-gap vByte effective
+      (gaps ~N/df, 1-2 bytes) and enable the direct-array scorer; sparse
+      64-bit hash ids produce ~7-byte gaps and kill both. Deterministic
+      given the input file set + session split config; the postings
+      checkpoint is the durable id↔url record.
+    - ``dense_sorted``: dense ids in url order — repartitionByRange(url) +
+      sortWithinPartitions + offsets (one materialization). Pays a full
+      shuffle; use when url-ordered ids are required.
+    - ``row_number``: url-ordered ids via a global window — collapses to one
+      partition; fixtures/tests only.
+    - ``hash``: xxhash64(url) — shuffle-free content-derived ids; used by
+      the hierarchical merge path where partial builds must agree on ids
+      without coordination. (64-bit birthday bound needs monitoring at
+      10^12 docs, or widen to (hash, url) keys.)
     """
     if method == "hash":
         return pages.withColumn("doc_id", F.xxhash64(F.col("url")))
-    w = Window.orderBy(F.col("url"))
-    return pages.withColumn("doc_id", F.row_number().over(w).cast("long"))
+    if method == "row_number":
+        w = Window.orderBy(F.col("url"))
+        return pages.withColumn("doc_id", F.row_number().over(w).cast("long"))
+    if method == "dense":
+        return _dense_ids(pages, persist=False)
+    if method == "dense_sorted":
+        spark = pages.sparkSession
+        n_part = max(spark.sparkContext.defaultParallelism * 2, 2)
+        ranged = pages.repartitionByRange(n_part, "url").sortWithinPartitions("url")
+        # persist: the count pass and the id pass must see the same
+        # (sampled) range partitioning — one materialization (at 100 TB a
+        # durable intermediate table instead of a cache)
+        return _dense_ids(ranged, persist=True)
+    raise ValueError(f"unknown doc_id method {method!r}")
+
+
+def _dense_ids(src: DataFrame, persist: bool) -> DataFrame:
+    """doc_id = offset[partition] + in-partition row index + 1.
+
+    monotonically_increasing_id = pid·2^33 + physical row index, so the low
+    33 bits are the in-partition rank with no shuffle."""
+    spark = src.sparkSession
+    with_pid = src.select(
+        "*",
+        F.spark_partition_id().alias("_pid"),
+        F.monotonically_increasing_id().alias("_mid"),
+    )
+    if persist:
+        with_pid = with_pid.persist()
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offsets_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+    )
+    local_rank = F.col("_mid") - F.col("_pid").cast("long") * F.lit(1 << 33)
+    return (
+        with_pid.join(F.broadcast(offsets_df), "_pid")
+        .withColumn("doc_id", (F.col("_offset") + local_rank + 1).cast("long"))
+        .drop("_pid", "_mid", "_offset")
+    )
 
 
 def tokenize_pages(pages_with_ids: DataFrame, text_col: str = "text") -> DataFrame:

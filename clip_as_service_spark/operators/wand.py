@@ -40,7 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.codec import impact_weights, vbyte_decode
+from ..functions.codec import decode_doc_gap_blocks_batch, vbyte_decode
 from ..functions.hashing import term_shard
 from ..sources.tables import IndexStorage
 from ..textnorm import tokenize_words
@@ -56,14 +56,13 @@ _UB_SAFETY = 1.0 + 1e-9
 
 
 class _Cursor:
-    __slots__ = ("term", "idf", "ub", "blocks", "bi", "pos", "doc_ids", "ws", "env")
+    __slots__ = ("term", "idf", "ub", "blocks", "bi", "pos", "doc_ids", "ws")
 
-    def __init__(self, term: str, idf: float, blocks: Sequence, env: tuple):
-        # blocks: rows with .n/.first_doc/.last_doc/.max_w/.docs/.tfs/.dls,
+    def __init__(self, term: str, idf: float, blocks: Sequence):
+        # blocks: rows with .n/.first_doc/.last_doc/.max_w/.docs/.ws,
         # sorted by first_doc
         self.term = term
         self.idf = idf
-        self.env = env
         self.blocks = blocks
         self.ub = idf * max(b.max_w for b in blocks)
         self.bi = 0
@@ -71,12 +70,8 @@ class _Cursor:
 
     def _load_block(self):
         row = self.blocks[self.bi]
-        n = row.n
-        self.doc_ids = np.cumsum(vbyte_decode(row.docs, n))
-        tfs = vbyte_decode(row.tfs, n)
-        dls = vbyte_decode(row.dls, n)
-        avgdl, k1, b = self.env
-        self.ws = impact_weights(tfs, dls, avgdl, k1, b)
+        self.doc_ids = np.cumsum(vbyte_decode(row.docs, row.n))
+        self.ws = np.frombuffer(row.ws, dtype="<f8")
         self.pos = 0
 
     @property
@@ -116,7 +111,16 @@ class _Cursor:
 
 
 def wand_topk(cursors: list[_Cursor], k: int) -> list[tuple[int, int, float]]:
-    """exact top-k [(rank, doc_id, score)] over posting cursors."""
+    """exact top-k [(rank, doc_id, score)] over posting cursors —
+    Block-Max WAND (Ding & Suel, SIGIR 2011 — public algorithm):
+
+    1. pivot by term-level UBs (idf · max over blocks);
+    2. before scoring a pivot, re-check with the CURRENT BLOCKS' max_w — if
+       even those can't reach θ, jump past min(block boundary, next cursor)
+       without decoding (the shallow advance that makes Zipf-head single-
+       and two-term queries skip most of their posting lists);
+    3. bounds are inflated by 1+1e-9 so float rounding can never prune a
+       true top-k doc → EXACT."""
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
     alive = [c for c in cursors if not c.exhausted]
     while alive:
@@ -132,6 +136,26 @@ def wand_topk(cursors: list[_Cursor], k: int) -> list[tuple[int, int, float]]:
         if pivot is None:
             break
         pivot_doc = alive[pivot].doc
+        candidates = alive[: pivot + 1]
+        if theta is not None:
+            # block-max refinement over the candidates' CURRENT blocks
+            block_ub = 0.0
+            for c in candidates:
+                block_ub += c.idf * c.blocks[c.bi].max_w
+            if block_ub * _UB_SAFETY < theta:
+                # nothing in [pivot_doc, d_next) can reach θ: the only
+                # cursors covering that range are the candidates' current
+                # blocks (cursor pivot+1 starts at its current doc)
+                d_boundary = min(c.blocks[c.bi].last_doc for c in candidates)
+                d_next = d_boundary + 1
+                if pivot + 1 < len(alive):
+                    d_next = min(d_next, alive[pivot + 1].doc)
+                d_next = max(d_next, pivot_doc + 1)
+                for c in candidates:
+                    if not c.exhausted and c.doc < d_next:
+                        c.seek(d_next)
+                alive = [c for c in alive if not c.exhausted]
+                continue
         if alive[0].doc == pivot_doc:
             parts = []
             for c in alive:
@@ -158,14 +182,69 @@ def wand_topk(cursors: list[_Cursor], k: int) -> list[tuple[int, int, float]]:
     return [(r, -d, s) for r, (s, d) in enumerate(ordered, 1)]
 
 
-def _cursors_from_rows(rows, env: tuple) -> list[_Cursor]:
+def taat_topk(rows, k: int, n_docs: int | None = None) -> list[tuple[int, int, float]]:
+    """Vectorized exact term-at-a-time scorer: decode every candidate block
+    (numpy), accumulate idf·w per doc in ASCENDING-TERM order (bit-identical
+    to the oracle's fold), top-k via lexsort with the (score DESC, doc ASC)
+    tie-break. No skipping — O(total candidate postings) — but pure numpy,
+    so it beats Python-loop WAND whenever the candidate set fits memory;
+    WAND's skipping wins only on huge lists with selective thresholds."""
+    by_term: dict[str, list] = {}
+    for row in rows:
+        by_term.setdefault(row.term, []).append(row)
+
+    decoded: list[tuple[str, np.ndarray, np.ndarray]] = []
+    all_docs = []
+    for term in sorted(by_term):
+        # batch-decode the whole term's blocks in one vectorized pass
+        # (sub-salt lists decode together: carry resets at every block)
+        blks = by_term[term]
+        docs = decode_doc_gap_blocks_batch(
+            [r.docs for r in blks], np.array([r.n for r in blks], dtype=np.int64)
+        )
+        w = np.frombuffer(b"".join(r.ws for r in blks), dtype="<f8")
+        decoded.append((term, docs, blks[0].idf * w))
+        all_docs.append(docs)
+    if not decoded:
+        return []
+    if n_docs is not None:
+        # dense-id mode: doc_id IS the array index — no unique/searchsorted.
+        # BM25 partials are strictly > 0, so score 0 ⇔ no query term matched
+        # (non-candidates stay out of the top-k, reference invariant
+        # tests/test_search.py:41-44).
+        dense = np.zeros(n_docs + 1, dtype=np.float64)
+        for _term, docs, partials in decoded:  # ascending-term accumulation
+            dense[docs] += partials
+        cand_ids = np.flatnonzero(dense > 0.0)
+        universe = cand_ids
+        scores = dense[cand_ids]
+    else:
+        universe = np.unique(np.concatenate(all_docs))
+        scores = np.zeros(len(universe), dtype=np.float64)
+        for _term, docs, partials in decoded:  # ascending-term accumulation
+            scores[np.searchsorted(universe, docs)] += partials
+    if len(universe) <= k:
+        order = np.lexsort((universe, -scores))
+    else:
+        # kth-largest score as threshold, keeping ALL boundary ties so the
+        # doc_id tie-break stays exact
+        kth_score = -np.partition(-scores, k - 1)[k - 1]
+        cand = np.flatnonzero(scores >= kth_score)
+        order = cand[np.lexsort((universe[cand], -scores[cand]))]
+    out = []
+    for i in order[:k]:
+        out.append((len(out) + 1, int(universe[i]), float(scores[i])))
+    return out
+
+
+def _cursors_from_rows(rows) -> list[_Cursor]:
     by_key: dict[tuple, list] = {}
     for row in rows:
         by_key.setdefault((row.term, row.salt), []).append(row)
     cursors = []
     for (term, _salt), blks in by_key.items():
         blks.sort(key=lambda r: r.first_doc)
-        cursors.append(_Cursor(term, float(blks[0].idf), blks, env))
+        cursors.append(_Cursor(term, float(blks[0].idf), blks))
     return cursors
 
 
@@ -185,12 +264,20 @@ class IndexReader:
     ``engine="spark"`` to route the scan through Spark instead. Decoded
     term cursors are memoized across queries (head terms repeat)."""
 
-    def __init__(self, spark: SparkSession | None, index_dir: str, engine: str = "pyarrow"):
+    def __init__(
+        self,
+        spark: SparkSession | None,
+        index_dir: str,
+        engine: str = "pyarrow",
+        strategy: str = "auto",
+        taat_max_postings: int = 20_000_000,
+    ):
         self.spark = spark
         self.store = IndexStorage(index_dir)
         self.meta = self.store.read_meta()
-        self.env = (self.meta["avgdl"], self.meta["k1"], self.meta["b"])
         self.engine = engine
+        self.strategy = strategy
+        self.taat_max_postings = taat_max_postings
         self._term_rows_cache: dict[str, list] = {}
         if engine == "pyarrow":
             import pyarrow.dataset as pads
@@ -236,16 +323,27 @@ class IndexReader:
         rows = self._fetch_rows(terms)
         if not rows:
             return []
-        return wand_topk(_cursors_from_rows(rows, self.env), k)
+        strategy = self.strategy
+        if strategy == "auto":
+            total = sum(r.n for r in rows)
+            strategy = "taat" if total <= self.taat_max_postings else "wand"
+        if strategy == "taat":
+            n_docs = (
+                self.meta["n_docs"]
+                if self.meta.get("doc_id_method") in ("dense", "row_number")
+                else None
+            )
+            return taat_topk(rows, k, n_docs=n_docs)
+        return wand_topk(_cursors_from_rows(rows), k)
 
 
 class _ArrowRow:
     __slots__ = (
         "term", "salt", "block_id", "n", "first_doc", "last_doc",
-        "max_w", "idf", "docs", "tfs", "dls",
+        "max_w", "idf", "docs", "ws",
     )
 
-    def __init__(self, term, salt, block_id, n, first_doc, last_doc, max_w, idf, docs, tfs, dls):
+    def __init__(self, term, salt, block_id, n, first_doc, last_doc, max_w, idf, docs, ws):
         self.term = term
         self.salt = salt
         self.block_id = block_id
@@ -255,8 +353,7 @@ class _ArrowRow:
         self.max_w = max_w
         self.idf = idf
         self.docs = docs
-        self.tfs = tfs
-        self.dls = dls
+        self.ws = ws
 
 
 def _arrow_rows(tbl) -> list[_ArrowRow]:
@@ -264,14 +361,14 @@ def _arrow_rows(tbl) -> list[_ArrowRow]:
         name: tbl.column(name).to_pylist()
         for name in (
             "term", "salt", "block_id", "n", "first_doc", "last_doc",
-            "max_w", "idf", "docs", "tfs", "dls",
+            "max_w", "idf", "docs", "ws",
         )
     }
     return [
         _ArrowRow(
             cols["term"][i], cols["salt"][i], cols["block_id"][i], cols["n"][i],
             cols["first_doc"][i], cols["last_doc"][i], cols["max_w"][i],
-            cols["idf"][i], cols["docs"][i], cols["tfs"][i], cols["dls"][i],
+            cols["idf"][i], cols["docs"][i], cols["ws"][i],
         )
         for i in range(tbl.num_rows)
     ]
@@ -308,11 +405,6 @@ def search_topk(
     cand = _candidate_blocks(spark, store, terms, meta["n_shards"])
     if cand is None:
         return spark.createDataFrame([], TOPK_SCHEMA)
-    cand = (
-        cand.withColumn("avgdl", F.lit(meta["avgdl"]))
-        .withColumn("k1", F.lit(meta["k1"]))
-        .withColumn("b", F.lit(meta["b"]))
-    )
     joined = cand.join(F.broadcast(qt), "term")
 
     if mode == "wand":
@@ -331,13 +423,8 @@ def _make_wand(k: int):
                 {"query_id": [], "rank": [], "doc_id": [], "score": []}
             )
         query_id = int(pdf["query_id"].iloc[0])
-        env = (
-            float(pdf["avgdl"].iloc[0]),
-            float(pdf["k1"].iloc[0]),
-            float(pdf["b"].iloc[0]),
-        )
         result = wand_topk(
-            _cursors_from_rows(list(pdf.itertuples(index=False)), env), k
+            _cursors_from_rows(list(pdf.itertuples(index=False))), k
         )
         return pd.DataFrame(
             {
@@ -361,9 +448,7 @@ def _search_exploded(joined: DataFrame, k: int) -> DataFrame:
             for row in pdf.itertuples(index=False):
                 n = row.n
                 doc_ids = np.cumsum(vbyte_decode(row.docs, n))
-                tfs = vbyte_decode(row.tfs, n)
-                dls = vbyte_decode(row.dls, n)
-                w = impact_weights(tfs, dls, row.avgdl, row.k1, row.b)
+                w = np.frombuffer(row.ws, dtype="<f8")
                 qids.append(np.full(n, row.query_id, dtype=np.int64))
                 terms.append(np.repeat(np.array([row.term], dtype=object), n))
                 docs.append(doc_ids)

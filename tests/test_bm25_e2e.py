@@ -21,7 +21,8 @@ K = 10
 @pytest.fixture(scope="module")
 def built(spark):
     pages = fixtures.pages_spark_df(spark, N_PAGES, partitions=6)
-    with_ids = tokenize.assign_doc_ids(pages)
+    # url-ordered ids to match BM25Oracle.from_pages
+    with_ids = tokenize.assign_doc_ids(pages, method="row_number")
     postings = tokenize.build_postings(with_ids).cache()
     stats = tokenize.corpus_stats(postings)
     tdf = tokenize.term_df(postings)

@@ -112,6 +112,36 @@ def test_multiblock_encode_equals_per_block(ids):
         assert (docs_b[i], tfs_b[i], dls_b[i]) == exp
 
 
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=2**40),
+        min_size=1,
+        max_size=700,
+        unique=True,
+    )
+)
+def test_batch_decode_roundtrip(ids):
+    ids.sort()
+    import numpy as np
+
+    from clip_as_service_spark.functions.codec import (
+        decode_posting_blocks_batch,
+        encode_posting_blocks,
+    )
+
+    doc_ids = np.array(ids, dtype=np.int64)
+    rng = np.random.default_rng(5)
+    tfs = rng.integers(1, 100, size=len(ids))
+    dls = rng.integers(1, 5000, size=len(ids))
+    docs_b, tfs_b, dls_b = encode_posting_blocks(doc_ids, tfs, dls)
+    ns = [min(BLOCK_SIZE, len(ids) - s) for s in range(0, len(ids), BLOCK_SIZE)]
+    d2, t2, l2 = decode_posting_blocks_batch(docs_b, tfs_b, dls_b, ns)
+    assert d2.tolist() == doc_ids.tolist()
+    assert t2.tolist() == tfs.tolist()
+    assert l2.tolist() == dls.tolist()
+
+
 def test_block_max_admissible():
     # per-block max weight is ≥ every true weight in block (WAND admissibility)
     rng = np.random.default_rng(7)

@@ -63,9 +63,12 @@ def test_exploded_exact_topk(spark, index_dir, oracle):
     _assert_matches_oracle(got, oracle)
 
 
-@pytest.mark.parametrize("engine", ["pyarrow", "spark"])
-def test_index_reader_interactive_exact(spark, index_dir, oracle, engine):
-    reader = wand.IndexReader(spark, index_dir, engine=engine)
+@pytest.mark.parametrize(
+    ("engine", "strategy"),
+    [("pyarrow", "taat"), ("pyarrow", "wand"), ("spark", "auto")],
+)
+def test_index_reader_interactive_exact(spark, index_dir, oracle, engine, strategy):
+    reader = wand.IndexReader(spark, index_dir, engine=engine, strategy=strategy)
     for q in fixtures.make_queries()[:20]:
         expected = oracle.topk(q["text"], k=K)
         got = reader.search(q["text"], k=K)
@@ -128,6 +131,33 @@ def test_resume_after_kill(spark, tmp_path, oracle, monkeypatch):
     _assert_matches_oracle(got, oracle)
 
 
+def test_dense_ids_equal_row_number(spark):
+    from clip_as_service_spark.operators.tokenize import assign_doc_ids
+
+    pages = fixtures.pages_spark_df(spark, 300, partitions=5)
+    dense_sorted = {
+        r["url"]: r["doc_id"]
+        for r in assign_doc_ids(pages, "dense_sorted").select("url", "doc_id").collect()
+    }
+    rn = {
+        r["url"]: r["doc_id"]
+        for r in assign_doc_ids(pages, "row_number").select("url", "doc_id").collect()
+    }
+    assert dense_sorted == rn
+    assert sorted(dense_sorted.values()) == list(range(1, 301))
+    # input-order dense: a permutation of 1..N, stable across repeat runs
+    d1 = {
+        r["url"]: r["doc_id"]
+        for r in assign_doc_ids(pages, "dense").select("url", "doc_id").collect()
+    }
+    d2 = {
+        r["url"]: r["doc_id"]
+        for r in assign_doc_ids(pages, "dense").select("url", "doc_id").collect()
+    }
+    assert sorted(d1.values()) == list(range(1, 301))
+    assert d1 == d2
+
+
 def test_hierarchical_merge_equals_single_build(spark, tmp_path):
     """Two partial builds merged ≡ one build over the union (hash doc ids)."""
     pages = fixtures.make_pages(N_PAGES)
@@ -169,8 +199,8 @@ def test_index_bitwise_partition_invariance(spark, tmp_path, index_dir):
         rows = sorted(
             (
                 r["term"], r["salt"], r["block_id"], r["n"], r["first_doc"],
-                r["last_doc"], repr(r["max_w"]),
-                bytes(r["docs"]).hex(), bytes(r["tfs"]).hex(), bytes(r["dls"]).hex(),
+                r["last_doc"], repr(r["max_w"]), repr(r["idf"]),
+                bytes(r["docs"]).hex(), bytes(r["ws"]).hex(),
             )
             for r in blocks.collect()
         )
