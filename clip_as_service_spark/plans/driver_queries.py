@@ -598,6 +598,68 @@ EXCEPT SELECT unnest(['a', 'the']) AS term
 """
 
 
+def q_softmax_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 softmax normalization per query (reference numpy_softmax,
+    executors/helper.py:12-17; invariant: per-query scores sum to 1,
+    tests/test_ranker.py:59-61). Computed over each query's BM25 top-10."""
+    scores = _bm25_scores(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
+    )
+    top = scores.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOPK
+    )
+    grp = Window.partitionBy("query_id")
+    ex = F.exp(F.col("score") - F.max("score").over(grp))
+    out = top.withColumn("_ex", ex).withColumn(
+        "softmax", F.round(F.col("_ex") / F.sum("_ex").over(grp), 6)
+    )
+    return out.select(
+        "query_id",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "softmax",
+    )
+
+
+SQL_SOFTMAX_SCORES = f"""
+{_SQL_BM25_SCORES}
+, ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 9) DESC, doc_id) AS rank
+  FROM scored),
+top AS (SELECT * FROM ranked WHERE rank <= {TOPK}),
+ex AS (
+  SELECT query_id, doc_id,
+         exp(score - max(score) OVER (PARTITION BY query_id)) AS e
+  FROM top)
+SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id,
+       round(e / sum(e) OVER (PARTITION BY query_id), 6) AS softmax
+FROM ex
+"""
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 masked mean-pool analog: per-label elementwise centroid of the
+    embedding vectors (the coarse-quantizer build step of an IVF index)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("i", "v")
+    )
+    return comp.groupBy("label", "i").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid")
+    ).select("label", F.col("i").cast("int").alias("i"), "centroid")
+
+
+SQL_LABEL_CENTROIDS = """
+SELECT label, CAST(i - 1 AS INT) AS i, round(avg(CAST(v AS DOUBLE)), 6) AS centroid
+FROM (SELECT label, embedding, unnest(range(1, len(embedding) + 1)) AS i,
+             embedding[i] AS v
+      FROM embeddings)
+GROUP BY label, i
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup family (operators/dedup.py) — MinHash+LSH, SimHash, n-gram Jaccard
 # ---------------------------------------------------------------------------
@@ -1026,6 +1088,8 @@ REGISTRY: dict[str, tuple] = {
     "token_count_hist": (q_token_count_hist, SQL_TOKEN_COUNT_HIST),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "rank_candidates": (q_rank_candidates, SQL_RANK_CANDIDATES),
+    "softmax_scores": (q_softmax_scores, SQL_SOFTMAX_SCORES),
+    "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "explode_chunks": (q_explode_chunks, SQL_EXPLODE_CHUNKS),
     "set_ops_terms": (q_set_ops_terms, SQL_SET_OPS_TERMS),
 }

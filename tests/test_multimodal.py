@@ -41,6 +41,37 @@ def test_resize_plan_geometry(spark, assets):
         assert min(r["resized_w"], r["resized_h"]) in (223, 224, 225)
 
 
+def test_binary_file_source_glob(spark, tmp_path):
+    """S3 file-glob source (reference DocumentArray.from_files,
+    tests/test_simple.py:71-73) → spark.read.format('binaryFile') with
+    pathGlobFilter; bytes flow into the same mapInPandas feature extractor."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    for i in range(6):
+        ext = "jpg" if i % 2 == 0 else "txt"
+        (tmp_path / f"asset_{i}.{ext}").write_bytes(
+            rng.integers(0, 256, size=256).astype(np.uint8).tobytes()
+        )
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(str(tmp_path))
+    )
+    rows = df.collect()
+    assert len(rows) == 3  # glob filtered
+    from pyspark.sql import functions as F
+
+    assets = df.select(
+        F.col("path").alias("asset_id"),
+        F.lit("image").alias("kind"),
+        F.col("content").alias("media"),
+        F.lit("image/jpeg").alias("mime"),
+    )
+    feats = mm.extract_features(assets, deterministic_fake=True).collect()
+    assert len(feats) == 3 and all(len(r["features"]) == mm.N_FEATURES for r in feats)
+
+
 def test_sample_frames_only_video(spark, assets):
     feats = mm.extract_features(assets, deterministic_fake=True)
     frames = mm.sample_frames(feats, every=2).collect()
