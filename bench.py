@@ -65,12 +65,35 @@ def main() -> None:
         _ = n
     total = round(time.perf_counter() - t_all, 3)
 
-    # index-build throughput: documents → postings materialized
-    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    # full index build (tokenize → postings → stats → dict → compressed
+    # blocks) over the documents table + interactive WAND/TAAT query p50
+    import shutil
+    import statistics
+
+    from pyspark.sql import functions as F2
+
+    from clip_as_service_spark.operators import index_build, wand
+
+    idx_dir = "/tmp/bench_idx"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F2.col("doc_id").cast("string").alias("url"), "text"
+    )
+    n_docs = docs.count()
     t0 = time.perf_counter()
-    dq._doc_postings(spark, sf_dir).groupBy().count().collect()
+    index_build.build_index(spark, docs, idx_dir, n_shards=16, doc_id_method="dense")
     build_sec = time.perf_counter() - t0
     docs_per_sec = round(n_docs / build_sec, 1) if build_sec > 0 else 0.0
+
+    reader = wand.IndexReader(None, idx_dir, engine="pyarrow")
+    reader.search("warm up", k=10)
+    lat = []
+    for _qid, qtext in dq.DOC_QUERIES:
+        t1 = time.perf_counter()
+        reader.search(qtext, k=10)
+        lat.append(time.perf_counter() - t1)
+    lat.sort()
+    query_p50_ms = round(1000 * statistics.median(lat), 2)
 
     print(
         json.dumps(
@@ -81,6 +104,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "index_build_docs_per_sec": docs_per_sec,
+                "index_build_sec": round(build_sec, 2),
+                "query_p50_ms": query_p50_ms,
                 "n_docs": n_docs,
                 "cpus": int(cpus),
             }
