@@ -160,38 +160,70 @@ def build_index(
     # -- stage 4: compressed block build ------------------------------------
     if not store.exists("blocks"):
         t0 = time.perf_counter()
+        # finer input splits for this stage: the pack UDF wants ≥2×cores
+        # partitions, and postings parquet compresses ~10:1 so the default
+        # 128 MB split (≈1 GB in-memory per task) starves cores
+        prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         tdf = store.read(spark, "termdf")
         salt_cutoff = meta["salt_cutoff"]
         target = meta["target_sublist"]
+        # The ENTIRE heavy path below is keyed on tid = xxhash64(term), not
+        # the term string: Spark 4 string-key hash joins measured ~16×
+        # slower than long-key joins on this corpus (collation-aware string
+        # handling); term/idf strings re-attach via a long-key join on the
+        # ~1000× smaller block-row table at the end.
+        # (tid collisions would merge two terms' postings — negligible at
+        # this vocab; at 10^9+ terms widen the key to two hash seeds.)
+        tdf_tid = tdf.select(
+            F.xxhash64("term").alias("tid"), "term", "idf", "df"
+        )
         # n_salts per term: 1 for the tail, ceil(df/target) for the Zipf head
-        salted_terms = tdf.filter(F.col("df") > salt_cutoff).select(
-            "term",
+        salted_terms = tdf_tid.filter(F.col("df") > salt_cutoff).select(
+            "tid",
             F.ceil(F.col("df") / F.lit(target)).cast("int").alias("n_salts"),
         )
-        # denormalize idf onto every posting row (→ every block row): the
-        # query path then never touches the dictionary table. idf is one
-        # float64 per term — negligible in the compressed block layout.
-        postings = postings.join(tdf.select("term", "idf"), "term")
-        p = postings.join(F.broadcast(salted_terms), "term", "left").withColumn(
+        p = postings.select(
+            F.xxhash64("term").alias("tid"), "doc_id", "tf", "dl"
+        )
+        p = p.join(F.broadcast(salted_terms), "tid", "left").withColumn(
             "salt",
             F.when(
                 F.col("n_salts").isNotNull(),
                 F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int"),
             ).otherwise(F.lit(0)),
         )
-        p = p.withColumn(
-            "shard", F.pmod(F.xxhash64("term"), F.lit(n_shards)).cast("int")
+
+        # hierarchical merge: the grouping/packing happens entirely JVM-SIDE
+        # (groupBy + collect_list with map-side partial aggregation); Python
+        # sees ONE ROW PER (tid, salt) GROUP with the posting arrays as bulk
+        # Arrow buffers. Rationale: the JVM→Python row boundary costs ~30 µs
+        # per row in this runtime (measured: a noop mapInPandas over 110M
+        # rows = 105 s on 32 cores), so the 10^8 posting rows must never
+        # individually cross into Python — only the ~10^4 group rows do.
+        # Group sizes are bounded by construction: salting caps every
+        # (tid, salt) sub-list at ~target_sublist postings.
+        grouped = p.groupBy("tid", "salt").agg(
+            F.collect_list("doc_id").alias("doc_ids"),
+            F.collect_list("tf").alias("tfs_a"),
+            F.collect_list("dl").alias("dls_a"),
         )
 
-        def _build_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
-            term = pdf["term"].iloc[0]
-            shard = int(pdf["shard"].iloc[0])
-            salt = int(pdf["salt"].iloc[0])
-            idf = float(pdf["idf"].iloc[0])
-            order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
-            doc_ids = pdf["doc_id"].to_numpy()[order]
-            tfs = pdf["tf"].to_numpy()[order]
-            dls = pdf["dl"].to_numpy()[order]
+        def _build_blocks(batches):
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    yield _encode_group(row)
+
+        def _encode_group(row) -> pd.DataFrame:
+            tid = int(row.tid)
+            salt = int(row.salt)
+            doc_ids = np.asarray(row.doc_ids, dtype=np.int64)
+            tfs = np.asarray(row.tfs_a, dtype=np.int64)
+            dls = np.asarray(row.dls_a, dtype=np.int64)
+            order = np.argsort(doc_ids, kind="stable")
+            doc_ids = doc_ids[order]
+            tfs = tfs[order]
+            dls = dls[order]
             n = len(doc_ids)
             docs_b = encode_doc_gap_blocks(doc_ids)
             w = impact_weights(tfs, dls, avgdl, K1, B)
@@ -202,15 +234,13 @@ def build_index(
             ws_b = [w_le[s:e].tobytes() for s, e in zip(starts, ends)]
             return pd.DataFrame(
                 {
-                    "term": np.repeat(np.array([term], dtype=object), len(starts)),
-                    "shard": np.full(len(starts), shard, dtype=np.int32),
+                    "tid": np.full(len(starts), tid, dtype=np.int64),
                     "salt": np.full(len(starts), salt, dtype=np.int32),
                     "block_id": np.arange(len(starts), dtype=np.int32),
                     "n": (ends - starts).astype(np.int32),
                     "first_doc": doc_ids[starts],
                     "last_doc": doc_ids[ends - 1],
                     "max_w": max_w,
-                    "idf": np.full(len(starts), idf, dtype=np.float64),
                     "bytes": np.array(
                         [len(a) + len(b) for a, b in zip(docs_b, ws_b)],
                         dtype=np.int32,
@@ -220,8 +250,22 @@ def build_index(
                 }
             )
 
-        blocks = p.groupBy("term", "salt").applyInPandas(
-            _build_blocks, schema=BLOCKS_SCHEMA
+        merged = grouped.mapInPandas(
+            _build_blocks,
+            schema=(
+                "tid long, salt int, block_id int, n int, first_doc long, "
+                "last_doc long, max_w double, bytes int, docs binary, ws binary"
+            ),
+        )
+        # re-attach term string + idf via a LONG-key broadcast join on the
+        # ~1000× smaller block-row table; shard derives from the term
+        blocks = merged.join(
+            F.broadcast(tdf_tid.select("tid", "term", "idf")), "tid"
+        ).select(
+            "term",
+            F.pmod(F.xxhash64("term"), F.lit(n_shards)).cast("int").alias("shard"),
+            "salt", "block_id", "n", "first_doc", "last_doc", "max_w",
+            "idf", "bytes", "docs", "ws",
         )
         # co-locate each shard before the partitioned write: one task per
         # shard dir instead of every task appending to every dir (the
@@ -234,6 +278,7 @@ def build_index(
             "term", "salt", "block_id"
         )
         store.write(blocks, "blocks", partition_by=["shard"])
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
         _log(spark, store, "blocks", t0, per_shard=True)
 
     return store
