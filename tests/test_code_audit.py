@@ -38,4 +38,6 @@ def test_vectorized_udfs_present():
     text = (PKG / "functions" / "text.py").read_text()
     assert "pandas_udf" in text
     blocks = (PKG / "operators" / "index_build.py").read_text()
-    assert "applyInPandas" in blocks
+    assert "mapInPandas" in blocks and "collect_list" in blocks
+    wand = (PKG / "operators" / "wand.py").read_text()
+    assert "applyInPandas" in wand
