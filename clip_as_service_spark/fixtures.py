@@ -93,6 +93,17 @@ def make_pages(n: int, seed: int = 42, messy_fraction: float = 0.15) -> list[dic
             decor = _MESSY_DECOR[int(rng.integers(len(_MESSY_DECOR)))]
             pos = int(rng.integers(0, len(words) + 1))
             text = " ".join(words[:pos] + [decor] + words[pos:])
+        # degenerate docs are GUARANTEED in web corpora — pin them in every
+        # fixture run: empty text, whitespace-only text (zero tokens after
+        # normalization), and sub-shingle-length docs (1-2 tokens)
+        if i % 61 == 3:
+            text = ""
+        elif i % 61 == 17:
+            text = "  \t\n  "
+        elif i % 61 == 31:
+            text = words[0]
+        elif i % 61 == 47:
+            text = " ".join(words[:2])
         lang_draw = rng.random()
         lang = "en" if lang_draw < 0.95 else ("de" if lang_draw < 0.975 else "zh")
         rows.append(

@@ -49,13 +49,19 @@ def shingles(
         F.col(id_col).alias("id"),
         F.split(F.col(text_col), " ").alias("toks"),
     )
-    # k-gram via transform over 0..len-k
+    # k-gram via transform over 0..len-k; docs with <k tokens yield zero
+    # shingles (an unguarded sequence(0, size-k) would DESCEND for sub-k
+    # docs — Spark sequence is bidirectional — and the resulting negative
+    # index crashes slice(); short/empty docs are guaranteed in web corpora)
     grams = tokens.select(
         "id",
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size("toks") - k, F.lit(-1))),
-            lambda i: F.concat_ws(" ", F.slice("toks", i + 1, k)),
-        ).alias("grams"),
+        F.when(
+            F.size("toks") >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - k),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, k)),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("grams"),
     )
     return grams.select("id", F.explode("grams").alias("shingle")).distinct()
 

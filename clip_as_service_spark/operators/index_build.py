@@ -132,7 +132,11 @@ def build_index(
         t0 = time.perf_counter()
         stats = (
             store.read(spark, "doclens")
-            .agg(F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl"))
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("dl").alias("total_dl"),
+                F.max("doc_id").alias("max_doc_id"),
+            )
             .withColumn("avgdl", F.col("total_dl") / F.col("n_docs"))
         )
         store.write(stats, "stats")
@@ -140,6 +144,18 @@ def build_index(
 
     stats_row = store.read(spark, "stats").collect()[0]
     n_docs, avgdl = int(stats_row["n_docs"]), float(stats_row["avgdl"])
+    if meta["doc_id_method"] in ("dense", "dense_sorted", "row_number"):
+        # dense ids must be exactly 1..N — catches a non-deterministic source
+        # plan between _dense_ids' count pass and id pass (the double-scan
+        # hazard) before any downstream stage trusts the ids
+        max_id = int(stats_row["max_doc_id"] or 0)
+        if max_id != n_docs:
+            raise AssertionError(
+                f"dense doc_id invariant violated: max(doc_id)={max_id} != "
+                f"n_docs={n_docs}; source plan is not deterministic across "
+                "the id-assignment double scan (persist the input or use "
+                "doc_id_method='hash')"
+            )
     if "n_docs" not in meta:
         # denormalize corpus stats into _meta.json: the query driver then
         # needs NO stats read (single-job interactive search)
@@ -149,10 +165,8 @@ def build_index(
     # -- stage 3: term dictionary (df + idf) --------------------------------
     if not store.exists("termdf"):
         t0 = time.perf_counter()
-        tdf = (
-            postings.groupBy("term")
-            .agg(F.count("*").alias("df"))
-            .withColumn("idf", _idf_udf(F.col("df"), F.lit(n_docs)))
+        tdf = tok.term_df(postings).withColumn(
+            "idf", _idf_udf(F.col("df"), F.lit(n_docs))
         )
         store.write(tdf, "termdf")
         _log(spark, store, "termdf", t0)
@@ -165,123 +179,150 @@ def build_index(
         # 128 MB split (≈1 GB in-memory per task) starves cores
         prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
-        tdf = store.read(spark, "termdf")
-        salt_cutoff = meta["salt_cutoff"]
-        target = meta["target_sublist"]
-        # The ENTIRE heavy path below is keyed on tid = xxhash64(term), not
-        # the term string: Spark 4 string-key hash joins measured ~16×
-        # slower than long-key joins on this corpus (collation-aware string
-        # handling); term/idf strings re-attach via a long-key join on the
-        # ~1000× smaller block-row table at the end.
-        # (tid collisions would merge two terms' postings — negligible at
-        # this vocab; at 10^9+ terms widen the key to two hash seeds.)
-        tdf_tid = tdf.select(
-            F.xxhash64("term").alias("tid"), "term", "idf", "df"
-        )
-        # n_salts per term: 1 for the tail, ceil(df/target) for the Zipf head
-        salted_terms = tdf_tid.filter(F.col("df") > salt_cutoff).select(
-            "tid",
-            F.ceil(F.col("df") / F.lit(target)).cast("int").alias("n_salts"),
-        )
-        p = postings.select(
-            F.xxhash64("term").alias("tid"), "doc_id", "tf", "dl"
-        )
-        p = p.join(F.broadcast(salted_terms), "tid", "left").withColumn(
-            "salt",
-            F.when(
-                F.col("n_salts").isNotNull(),
-                F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int"),
-            ).otherwise(F.lit(0)),
-        )
-
-        # hierarchical merge: the grouping/packing happens entirely JVM-SIDE
-        # (groupBy + collect_list with map-side partial aggregation); Python
-        # sees ONE ROW PER (tid, salt) GROUP with the posting arrays as bulk
-        # Arrow buffers. Rationale: the JVM→Python row boundary costs ~30 µs
-        # per row in this runtime (measured: a noop mapInPandas over 110M
-        # rows = 105 s on 32 cores), so the 10^8 posting rows must never
-        # individually cross into Python — only the ~10^4 group rows do.
-        # Group sizes are bounded by construction: salting caps every
-        # (tid, salt) sub-list at ~target_sublist postings.
-        grouped = p.groupBy("tid", "salt").agg(
-            F.collect_list("doc_id").alias("doc_ids"),
-            F.collect_list("tf").alias("tfs_a"),
-            F.collect_list("dl").alias("dls_a"),
-        )
-
-        def _build_blocks(batches):
-            for pdf in batches:
-                for row in pdf.itertuples(index=False):
-                    yield _encode_group(row)
-
-        def _encode_group(row) -> pd.DataFrame:
-            tid = int(row.tid)
-            salt = int(row.salt)
-            doc_ids = np.asarray(row.doc_ids, dtype=np.int64)
-            tfs = np.asarray(row.tfs_a, dtype=np.int64)
-            dls = np.asarray(row.dls_a, dtype=np.int64)
-            order = np.argsort(doc_ids, kind="stable")
-            doc_ids = doc_ids[order]
-            tfs = tfs[order]
-            dls = dls[order]
-            n = len(doc_ids)
-            docs_b = encode_doc_gap_blocks(doc_ids)
-            w = impact_weights(tfs, dls, avgdl, K1, B)
-            starts = np.arange(0, n, BLOCK_SIZE)
-            ends = np.minimum(starts + BLOCK_SIZE, n)
-            max_w = np.maximum.reduceat(w, starts)
-            w_le = w.astype("<f8")
-            ws_b = [w_le[s:e].tobytes() for s, e in zip(starts, ends)]
-            return pd.DataFrame(
-                {
-                    "tid": np.full(len(starts), tid, dtype=np.int64),
-                    "salt": np.full(len(starts), salt, dtype=np.int32),
-                    "block_id": np.arange(len(starts), dtype=np.int32),
-                    "n": (ends - starts).astype(np.int32),
-                    "first_doc": doc_ids[starts],
-                    "last_doc": doc_ids[ends - 1],
-                    "max_w": max_w,
-                    "bytes": np.array(
-                        [len(a) + len(b) for a, b in zip(docs_b, ws_b)],
-                        dtype=np.int32,
-                    ),
-                    "docs": docs_b,
-                    "ws": ws_b,
-                }
-            )
-
-        merged = grouped.mapInPandas(
-            _build_blocks,
-            schema=(
-                "tid long, salt int, block_id int, n int, first_doc long, "
-                "last_doc long, max_w double, bytes int, docs binary, ws binary"
-            ),
-        )
-        # re-attach term string + idf via a LONG-key broadcast join on the
-        # ~1000× smaller block-row table; shard derives from the term
-        blocks = merged.join(
-            F.broadcast(tdf_tid.select("tid", "term", "idf")), "tid"
-        ).select(
-            "term",
-            F.pmod(F.xxhash64("term"), F.lit(n_shards)).cast("int").alias("shard"),
-            "salt", "block_id", "n", "first_doc", "last_doc", "max_w",
-            "idf", "bytes", "docs", "ws",
-        )
-        # co-locate each shard before the partitioned write: one task per
-        # shard dir instead of every task appending to every dir (the
-        # dynamic-partition write otherwise fans out tasks×shards files and
-        # scales negatively with cores). Sort within each shard file by
-        # (term, salt, block_id): parquet page/row-group min-max stats on
-        # `term` become selective, so query-time term lookups skip row
-        # groups instead of scanning the shard.
-        blocks = blocks.repartition("shard").sortWithinPartitions(
-            "term", "salt", "block_id"
-        )
-        store.write(blocks, "blocks", partition_by=["shard"])
-        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+        try:
+            _build_blocks_stage(spark, store, meta, postings, avgdl, n_shards)
+        finally:
+            # restore even on failure: the override must not leak into the
+            # caller's session when the blocks write aborts
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
         _log(spark, store, "blocks", t0, per_shard=True)
 
     return store
+
+
+def _build_blocks_stage(
+    spark: SparkSession,
+    store: IndexStorage,
+    meta: dict,
+    postings: DataFrame,
+    avgdl: float,
+    n_shards: int,
+) -> None:
+    """Stage 4 body: salted groupBy → JVM-side packing → partitioned write."""
+    tdf = store.read(spark, "termdf")
+    salt_cutoff = meta["salt_cutoff"]
+    target = meta["target_sublist"]
+    # The ENTIRE heavy path below is keyed on tid = xxhash64(term), not
+    # the term string: Spark 4 string-key hash joins measured ~16×
+    # slower than long-key joins on this corpus (collation-aware string
+    # handling); term/idf strings re-attach via a long-key join on the
+    # ~1000× smaller block-row table at the end.
+    tdf_tid = tdf.select(
+        F.xxhash64("term").alias("tid"), "term", "idf", "df"
+    )
+    # a 64-bit tid collision would silently merge two terms' postings —
+    # at the 10^9-term scale the birthday probability is a few percent,
+    # so DETECT it on the (small) dictionary and fail the build loudly;
+    # the fix when it fires is widening to a two-seed key
+    coll = tdf_tid.agg(
+        F.count_distinct("term").alias("nt"),
+        F.count_distinct("tid").alias("nh"),
+    ).collect()[0]
+    if coll["nt"] != coll["nh"]:
+        raise AssertionError(
+            f"xxhash64(term) collision: {coll['nt']} terms -> "
+            f"{coll['nh']} tids; widen the block key to two hash seeds"
+        )
+    # n_salts per term: 1 for the tail, ceil(df/target) for the Zipf head
+    salted_terms = tdf_tid.filter(F.col("df") > salt_cutoff).select(
+        "tid",
+        F.ceil(F.col("df") / F.lit(target)).cast("int").alias("n_salts"),
+    )
+    p = postings.filter(F.col("term").isNotNull()).select(
+        F.xxhash64("term").alias("tid"), "doc_id", "tf", "dl"
+    )
+    p = p.join(F.broadcast(salted_terms), "tid", "left").withColumn(
+        "salt",
+        F.when(
+            F.col("n_salts").isNotNull(),
+            F.pmod(F.xxhash64("doc_id"), F.col("n_salts")).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+
+    # hierarchical merge: the grouping/packing happens entirely JVM-SIDE
+    # (groupBy + collect_list with map-side partial aggregation); Python
+    # sees ONE ROW PER (tid, salt) GROUP with the posting arrays as bulk
+    # Arrow buffers. Rationale: the JVM→Python row boundary costs ~30 µs
+    # per row in this runtime (measured: a noop mapInPandas over 110M
+    # rows = 105 s on 32 cores), so the 10^8 posting rows must never
+    # individually cross into Python — only the ~10^4 group rows do.
+    # Group sizes are bounded by construction: salting caps every
+    # (tid, salt) sub-list at ~target_sublist postings.
+    grouped = p.groupBy("tid", "salt").agg(
+        F.collect_list("doc_id").alias("doc_ids"),
+        F.collect_list("tf").alias("tfs_a"),
+        F.collect_list("dl").alias("dls_a"),
+    )
+
+    def _build_blocks(batches):
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                yield _encode_group(row)
+
+    def _encode_group(row) -> pd.DataFrame:
+        tid = int(row.tid)
+        salt = int(row.salt)
+        doc_ids = np.asarray(row.doc_ids, dtype=np.int64)
+        tfs = np.asarray(row.tfs_a, dtype=np.int64)
+        dls = np.asarray(row.dls_a, dtype=np.int64)
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids = doc_ids[order]
+        tfs = tfs[order]
+        dls = dls[order]
+        n = len(doc_ids)
+        docs_b = encode_doc_gap_blocks(doc_ids)
+        w = impact_weights(tfs, dls, avgdl, K1, B)
+        starts = np.arange(0, n, BLOCK_SIZE)
+        ends = np.minimum(starts + BLOCK_SIZE, n)
+        max_w = np.maximum.reduceat(w, starts)
+        w_le = w.astype("<f8")
+        ws_b = [w_le[s:e].tobytes() for s, e in zip(starts, ends)]
+        return pd.DataFrame(
+            {
+                "tid": np.full(len(starts), tid, dtype=np.int64),
+                "salt": np.full(len(starts), salt, dtype=np.int32),
+                "block_id": np.arange(len(starts), dtype=np.int32),
+                "n": (ends - starts).astype(np.int32),
+                "first_doc": doc_ids[starts],
+                "last_doc": doc_ids[ends - 1],
+                "max_w": max_w,
+                "bytes": np.array(
+                    [len(a) + len(b) for a, b in zip(docs_b, ws_b)],
+                    dtype=np.int32,
+                ),
+                "docs": docs_b,
+                "ws": ws_b,
+            }
+        )
+
+    merged = grouped.mapInPandas(
+        _build_blocks,
+        schema=(
+            "tid long, salt int, block_id int, n int, first_doc long, "
+            "last_doc long, max_w double, bytes int, docs binary, ws binary"
+        ),
+    )
+    # re-attach term string + idf via a LONG-key broadcast join on the
+    # ~1000× smaller block-row table; shard derives from the term
+    blocks = merged.join(
+        F.broadcast(tdf_tid.select("tid", "term", "idf")), "tid"
+    ).select(
+        "term",
+        F.pmod(F.xxhash64("term"), F.lit(n_shards)).cast("int").alias("shard"),
+        "salt", "block_id", "n", "first_doc", "last_doc", "max_w",
+        "idf", "bytes", "docs", "ws",
+    )
+    # co-locate each shard before the partitioned write: one task per
+    # shard dir instead of every task appending to every dir (the
+    # dynamic-partition write otherwise fans out tasks×shards files and
+    # scales negatively with cores). Sort within each shard file by
+    # (term, salt, block_id): parquet page/row-group min-max stats on
+    # `term` become selective, so query-time term lookups skip row
+    # groups instead of scanning the shard.
+    blocks = blocks.repartition("shard").sortWithinPartitions(
+        "term", "salt", "block_id"
+    )
+    store.write(blocks, "blocks", partition_by=["shard"])
 
 
 def _log(

@@ -112,6 +112,14 @@ def build_postings(pages_with_ids: DataFrame, text_col: str = "text") -> DataFra
     exchange at all. dl is denormalized onto every posting row so the query
     path never joins an N-row doc-length table (standard impact-ordered-index
     practice; SURVEY.md §7 M1).
+
+    Zero-token documents (empty/whitespace-only text — guaranteed in web
+    corpora) emit ONE sentinel row (term=NULL, tf=NULL, dl=0) via
+    explode_outer, so the postings checkpoint is a complete record of the
+    corpus: n_docs/avgdl derived from it count every page (the oracle does),
+    and dense doc_ids stay contiguous in the scorer's view. Term-keyed
+    consumers (term_df, the block build, query joins) filter/inner-join the
+    NULL term away.
     """
     from ..functions.text import tokenize_tf_udf
 
@@ -121,7 +129,7 @@ def build_postings(pages_with_ids: DataFrame, text_col: str = "text") -> DataFra
     return toks.select(
         "doc_id",
         F.col("t.dl").alias("dl"),
-        F.explode(F.arrays_zip("t.terms", "t.tfs")).alias("p"),
+        F.explode_outer(F.arrays_zip("t.terms", "t.tfs")).alias("p"),
     ).select(
         F.col("p.terms").alias("term"),
         "doc_id",
@@ -148,5 +156,10 @@ def term_df(postings: DataFrame) -> DataFrame:
     """→ (term, df) — exact document frequency per term.
 
     (doc_id is unique per (term, doc_id) posting row by construction, so
-    count(*) == countDistinct(doc_id) without the distinct shuffle.)"""
-    return postings.groupBy("term").agg(F.count("*").alias("df"))
+    count(*) == countDistinct(doc_id) without the distinct shuffle. NULL-term
+    sentinel rows — zero-token docs — are not terms.)"""
+    return (
+        postings.filter(F.col("term").isNotNull())
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )

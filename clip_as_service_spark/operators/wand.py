@@ -211,8 +211,11 @@ def taat_topk(rows, k: int, n_docs: int | None = None) -> list[tuple[int, int, f
         # dense-id mode: doc_id IS the array index — no unique/searchsorted.
         # BM25 partials are strictly > 0, so score 0 ⇔ no query term matched
         # (non-candidates stay out of the top-k, reference invariant
-        # tests/test_search.py:41-44).
-        dense = np.zeros(n_docs + 1, dtype=np.float64)
+        # tests/test_search.py:41-44). Sized by max(n_docs, max decoded id)
+        # so an index whose stats undercount (e.g. built before zero-token
+        # docs were carried) can never IndexError — it just over-allocates.
+        max_seen = max(int(d.max()) for _t, d, _w in decoded)
+        dense = np.zeros(max(n_docs, max_seen) + 1, dtype=np.float64)
         for _term, docs, partials in decoded:  # ascending-term accumulation
             dense[docs] += partials
         cand_ids = np.flatnonzero(dense > 0.0)
@@ -400,11 +403,15 @@ def search_topk(
     """→ (query_id, rank, doc_id, score); queries(query_id, text)."""
     store = IndexStorage(index_dir)
     meta = store.read_meta()
-    qt = query_terms(queries).cache()
-    terms = [r["term"] for r in qt.select("term").distinct().collect()]
+    # query-terms table is tiny (Q·|q| rows): collect ONCE and rebuild as a
+    # local DataFrame — no .cache() to leak, and the term list for shard
+    # pruning falls out of the same pass
+    qt_rows = query_terms(queries).collect()
+    terms = sorted({r["term"] for r in qt_rows})
     cand = _candidate_blocks(spark, store, terms, meta["n_shards"])
-    if cand is None:
+    if cand is None or not qt_rows:
         return spark.createDataFrame([], TOPK_SCHEMA)
+    qt = spark.createDataFrame(qt_rows, "query_id int, term string")
     joined = cand.join(F.broadcast(qt), "term")
 
     if mode == "wand":
