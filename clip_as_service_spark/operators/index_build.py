@@ -74,7 +74,7 @@ def build_index(
     n_shards: int = 16,
     salt_cutoff: int = 50_000,
     target_sublist: int = 50_000,
-    doc_id_method: str = "row_number",
+    doc_id_method: str = "dense",
     text_col: str = "text",
 ) -> IndexStorage:
     """Run all build stages, skipping any whose checkpoint already exists."""

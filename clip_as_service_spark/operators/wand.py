@@ -333,7 +333,8 @@ class IndexReader:
         if strategy == "taat":
             n_docs = (
                 self.meta["n_docs"]
-                if self.meta.get("doc_id_method") in ("dense", "row_number")
+                if self.meta.get("doc_id_method")
+                in ("dense", "dense_sorted", "row_number")
                 else None
             )
             return taat_topk(rows, k, n_docs=n_docs)

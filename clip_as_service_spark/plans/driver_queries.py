@@ -82,13 +82,23 @@ _SQL_DL = f"SELECT doc_id, count(*) AS dl FROM ({_SQL_TOKENS}) GROUP BY doc_id"
 def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, doc_id, score) BM25 over documents for DOC_QUERIES.
 
-    Plan shape (scale story): postings/dl/term-df shuffles are on near-uniform
-    keys; query side is tiny and broadcast; the scored groupBy is
-    map-side-combinable. No driver-side loops, no Python UDFs at all here —
-    whole plan is JVM built-ins."""
+    Plan shape (scale story): postings/term-df shuffles are on near-uniform
+    keys; the query side is tiny and broadcast; the scored groupBy is
+    map-side-combinable. Doc length is attached as a window sum over the
+    postings' own doc_id partitioning — dl is a corpus-sized table (one row
+    per document), so it must NEVER be broadcast and never joined as a
+    separate N-row relation; the window reuses the hash partitioning. The
+    only aggregates over corpus-sized data are global (stats). No driver-side
+    loops, no Python UDFs at all here — whole plan is JVM built-ins."""
     tokens = _doc_tokens(spark, sf_dir)
     postings = tokens.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
-    dl = tokens.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # dl = Σ tf per doc, denormalized onto every posting row via a window
+    # (hash-partitioned by doc_id — scales; the engine's index path does the
+    # same denormalization inside the tokenize UDF, operators/tokenize.py)
+    postings = postings.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
+    )
+    dl = postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
@@ -112,9 +122,7 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("query_id", "term", "idf", "avgdl")
     )
-    joined = postings.join(F.broadcast(qt_idf), "term").join(
-        F.broadcast(dl), "doc_id"
-    )
+    joined = postings.join(F.broadcast(qt_idf), "term")
     partial = (
         F.col("idf")
         * F.col("tf")

@@ -14,8 +14,13 @@ from clip_as_service_spark.sources.tables import IndexStorage
 
 N_PAGES = 200
 K = 10
-# tiny thresholds so the salting path is exercised at fixture scale
-SALT_KW = dict(salt_cutoff=30, target_sublist=20, n_shards=4)
+# tiny thresholds so the salting path is exercised at fixture scale.
+# doc_id_method: the oracle keys docs by row_number over url, so tests use
+# dense_sorted (url-ordered, scale-safe — no single-partition window); the
+# build default is input-order `dense`.
+SALT_KW = dict(
+    salt_cutoff=30, target_sublist=20, n_shards=4, doc_id_method="dense_sorted"
+)
 
 
 @pytest.fixture(scope="module")
@@ -158,6 +163,28 @@ def test_dense_ids_equal_row_number(spark):
     assert d1 == d2
 
 
+def test_scale_safe_id_plans(spark):
+    """Default + dense_sorted id assignment must contain NO global window and
+    NO single-partition exchange (the row_number scale-killer)."""
+    import inspect
+
+    from clip_as_service_spark.operators.tokenize import assign_doc_ids
+
+    sig = inspect.signature(index_build.build_index)
+    assert sig.parameters["doc_id_method"].default == "dense"
+
+    pages = fixtures.pages_spark_df(spark, 50, partitions=4)
+    for method in ("dense", "dense_sorted"):
+        plan = (
+            assign_doc_ids(pages, method)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Window" not in plan, method
+        assert "SinglePartition" not in plan, method
+
+
 def test_hierarchical_merge_equals_single_build(spark, tmp_path):
     """Two partial builds merged ≡ one build over the union (hash doc ids)."""
     pages = fixtures.make_pages(N_PAGES)
@@ -168,18 +195,16 @@ def test_hierarchical_merge_equals_single_build(spark, tmp_path):
             rows,
             "url string, warc_ts timestamp, html binary, text string, lang string",
         )
-        index_build.build_index(
-            spark, df, out, doc_id_method="hash", **SALT_KW
-        )
+        kw = {**SALT_KW, "doc_id_method": "hash"}
+        index_build.build_index(spark, df, out, **kw)
         return out
 
     a = build(pages[:half], str(tmp_path / "part_a"))
     b = build(pages[half:], str(tmp_path / "part_b"))
     full = build(pages, str(tmp_path / "full"))
     merged = str(tmp_path / "merged")
-    index_build.merge_indexes(
-        spark, [a, b], merged, **SALT_KW
-    )
+    merge_kw = {k: v for k, v in SALT_KW.items() if k != "doc_id_method"}
+    index_build.merge_indexes(spark, [a, b], merged, **merge_kw)
 
     queries = fixtures.queries_spark_df(spark)
     got_m = _collect_topk(wand.search_topk(spark, merged, queries, k=K))
