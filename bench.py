@@ -95,6 +95,46 @@ def main() -> None:
     lat.sort()
     query_p50_ms = round(1000 * statistics.median(lat), 2)
 
+    # ANN recall@10 vs the exact brute-force baseline: axis-aligned 8-bit
+    # LSH vs random-hyperplane LSH at the same 8 bits (isotropy win) and at
+    # the 16-bit+multi-probe scale configuration
+    from clip_as_service_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q_ann = dq._ann_queries(spark, sf_dir)
+
+    def _topk_sets(df):
+        out: dict[int, set] = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    exact = _topk_sets(sim.cosine_topk(emb, q_ann, k=10))
+
+    def _recall(df) -> float:
+        got = _topk_sets(df)
+        per_q = [
+            len(got.get(q, set()) & hits) / len(hits) for q, hits in exact.items()
+        ]
+        return round(sum(per_q) / len(per_q), 3)
+
+    ann_recall = {
+        "axis8": _recall(sim.bucketed_topk(emb, q_ann, k=10, n_bits=8)),
+        "rh8_t1": _recall(
+            sim.rh_bucketed_topk(emb, q_ann, k=10, n_bits=8, dim=dq.RH_DIM)
+        ),
+        "rh8_t8": _recall(
+            sim.rh_bucketed_topk(
+                emb, q_ann, k=10, n_bits=8, dim=dq.RH_DIM, n_tables=8
+            )
+        ),
+        "rh6_t8": _recall(
+            sim.rh_bucketed_topk(
+                emb, q_ann, k=10, n_bits=6, dim=dq.RH_DIM, n_tables=8
+            )
+        ),
+    }
+
     print(
         json.dumps(
             {
@@ -108,6 +148,7 @@ def main() -> None:
                 "query_p50_ms": query_p50_ms,
                 "n_docs": n_docs,
                 "cpus": int(cpus),
+                "ann_recall_at_10": ann_recall,
             }
         )
     )

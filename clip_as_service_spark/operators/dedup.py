@@ -194,6 +194,79 @@ def simhash_fingerprints(
     return fp
 
 
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bits: int = 60,
+    n_bands: int = 4,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """→ (id_a, id_b, hamming): SimHash near-dup pairs via banded
+    Hamming-neighbor join — the same LSH trick as MinHash banding, applied
+    to the fingerprint bits.
+
+    The n_bits fingerprint is split into n_bands exact-match keys
+    (band_bits = n_bits/n_bands each); two docs are CANDIDATES iff ≥1 band
+    matches exactly. By pigeonhole, every pair within Hamming distance
+    ≤ n_bands−1 is guaranteed to collide on some band (d differing bits can
+    ruin at most d bands), so the default max_hamming = n_bands−1 is exact,
+    not approximate. Candidates are verified with exact bit_count(xor).
+
+    Scale shape: band/key equi-join — identical to lsh_candidate_pairs, no
+    cross join anywhere. Degenerate fingerprints (e.g. all-zero from empty
+    docs) form one hot bucket; at 10^12 docs cap bucket size upstream by
+    exact-dedup'ing first (exact dups are Hamming-0 trivially)."""
+    if max_hamming is None:
+        max_hamming = n_bands - 1
+    band_bits = n_bits // n_bands
+    mask = (1 << band_bits) - 1
+    fp = simhash_fingerprints(df, id_col, text_col, n_bits)
+    bands = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "id", "simhash",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """→ (text_hash, n_copies, keep_id): md5 content groups, min-id survivor."""
     return df.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(

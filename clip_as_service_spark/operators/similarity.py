@@ -20,6 +20,7 @@ All math in float64, summed in index order (deterministic)."""
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -55,6 +56,142 @@ def bucket_col(vec, n_bits: int = 8) -> F.Column:
     out = bits[0]
     for b in bits[1:]:
         out = out + b
+    return out.cast("int")
+
+
+def rh_planes(dim: int, n_bits: int = 16, seed: int = 42) -> "np.ndarray":
+    """The deterministic hyperplane matrix (n_bits × dim) — exposed so SQL
+    oracles can embed the identical literals."""
+    return np.random.default_rng(seed).standard_normal((n_bits, dim))
+
+
+def rh_bucket_col(
+    vec,
+    dim: int,
+    n_bits: int = 16,
+    seed: int = 42,
+    sign_round_dp: int | None = None,
+) -> F.Column:
+    """sign-LSH bucket from RANDOM hyperplanes: bit j = 1 iff vec·r_j ≥ 0,
+    r_j ~ N(0,I) seeded — deterministic, identical on every executor.
+
+    Unlike the axis-aligned variant (bucket_col), random planes split the
+    space isotropically, so 2^n_bits buckets stay near-uniformly occupied on
+    real (anisotropic) embedding distributions — axis planes collapse to a
+    few hot buckets when early dimensions are correlated. The planes fold
+    into the plan as float literals (n_bits·dim doubles ≈ KBs): JVM-side
+    codegen, no Python, no broadcast variable to manage.
+
+    sign_round_dp: round the dot product before taking its sign — used by
+    cross-engine oracle queries so a last-ulp summation-order difference
+    between engines cannot flip a boundary sign (engine-internal use leaves
+    it None: raw sign)."""
+    planes = rh_planes(dim, n_bits, seed)
+    out = None
+    for j in range(n_bits):
+        r = F.array(*[F.lit(float(x)) for x in planes[j]])
+        dot = _dot(vec, r)
+        if sign_round_dp is not None:
+            dot = F.round(dot, sign_round_dp)
+        bit = F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        out = bit if out is None else out + bit
+    return out.cast("int")
+
+
+def rh_bucketed_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = 16,
+    dim: int = 64,
+    multi_probe: bool = True,
+    n_tables: int = 1,
+    seed: int = 42,
+    sign_round_dp: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "qvec",
+) -> DataFrame:
+    """approximate top-k via random-hyperplane LSH: L independent tables,
+    each with 1-bit-flip multi-probe; exact cosine over the candidate union.
+
+    Data side: one bucket per (vector, table) — n_tables rows per vector,
+    the standard L-table LSH storage trade (at scale: L partition-prunable
+    index copies, each keyed by its own 2^n_bits near-uniform buckets; vs
+    the axis-aligned variant whose correlated early dims collapse to a few
+    hot buckets). Query side probes each table's own bucket plus every
+    1-bit-flip neighbor — L·(n_bits+1) probes. Recall stacks as
+    1−(1−p)^L·(probe gain); candidates dedupe on (query, vec) before the
+    exact-cosine re-rank, so more tables cost candidates, never correctness
+    of what's returned."""
+    planes_bits = n_bits * n_tables
+    tables_d = [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            _table_bucket(
+                F.col(vec_col), dim, n_bits, t, planes_bits, seed, sign_round_dp
+            ).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ]
+    data = embeddings.select(
+        id_col, vec_col, F.explode(F.array(*tables_d)).alias("tb")
+    ).select(
+        id_col, vec_col,
+        F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
+    )
+    probes_q = []
+    for t in range(n_tables):
+        b0 = _table_bucket(
+            F.col(q_vec_col), dim, n_bits, t, planes_bits, seed, sign_round_dp
+        )
+        probes_q.append(F.struct(F.lit(t).alias("tbl"), b0.alias("bucket")))
+        if multi_probe:
+            probes_q += [
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    b0.bitwiseXOR(F.lit(1 << j)).alias("bucket"),
+                )
+                for j in range(n_bits)
+            ]
+    q = queries.select(
+        q_id_col, q_vec_col, F.explode(F.array(*probes_q)).alias("tb")
+    ).select(
+        q_id_col, q_vec_col,
+        F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
+    )
+    joined = data.join(F.broadcast(q), ["tbl", "bucket"])
+    cand = joined.dropDuplicates([q_id_col, id_col])
+    scored = cand.select(
+        F.col(q_id_col).alias("query_id"),
+        F.col(id_col).alias("vec_id"),
+        cosine_col(F.col(vec_col), F.col(q_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "cosine")
+    )
+
+
+def _table_bucket(
+    vec, dim: int, n_bits: int, table: int, planes_bits: int, seed: int,
+    sign_round_dp: int | None,
+) -> F.Column:
+    """Bucket for one LSH table: planes are the table's n_bits-slice of the
+    shared (planes_bits × dim) matrix, so table 0 with n_tables=1 reproduces
+    the single-table layout (oracle SQL stays valid)."""
+    planes = rh_planes(dim, planes_bits, seed)
+    out = None
+    for j in range(n_bits):
+        r = F.array(*[F.lit(float(x)) for x in planes[table * n_bits + j]])
+        dot = _dot(vec, r)
+        if sign_round_dp is not None:
+            dot = F.round(dot, sign_round_dp)
+        bit = F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        out = bit if out is None else out + bit
     return out.cast("int")
 
 

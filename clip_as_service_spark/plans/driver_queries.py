@@ -790,6 +790,37 @@ FROM h GROUP BY id
 SQL_DEDUP_SIMHASH = _sql_simhash()
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded Hamming-neighbor join (4×15-bit bands
+    over the 60-bit fingerprint), exact for Hamming ≤ 3 by pigeonhole."""
+    docs = _t(spark, sf_dir, "documents")
+    return _dd.simhash_candidate_pairs(
+        docs, "doc_id", "text", n_bits=SIMHASH_BITS, n_bands=4
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
+SQL_DEDUP_SIMHASH_PAIRS = f"""
+WITH fp AS ({SQL_DEDUP_SIMHASH}),
+bands AS (
+  SELECT doc_id, simhash, b.band,
+         (simhash >> (b.band * 15)) & 32767 AS key
+  FROM fp, (VALUES (0), (1), (2), (3)) b(band)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sh_a, sh_b)) <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings (operators/similarity.py)
 # ---------------------------------------------------------------------------
@@ -916,6 +947,98 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
        CAST(vec_id AS BIGINT) AS vec_id, cosine
 FROM ranked WHERE rank <= {ANN_K}
 """
+
+
+RH_BITS = 16
+RH_DIM = 64
+RH_SEED = 42
+_RH_SIGN_DP = 9  # round dot before sign in BOTH engines (boundary stability)
+
+
+def q_ann_rh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: random-hyperplane LSH (16 bits → 65536 near-uniform
+    buckets) with 1-bit-flip multi-probe; exact cosine within candidates."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = _sim.rh_bucketed_topk(
+        emb,
+        _ann_queries(spark, sf_dir),
+        k=ANN_K,
+        n_bits=RH_BITS,
+        dim=RH_DIM,
+        seed=RH_SEED,
+        sign_round_dp=_RH_SIGN_DP,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cosine"), 9)), F.asc("vec_id")
+    )
+    return (
+        out.drop("rank")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            F.round("cosine", 4).alias("cosine"),
+        )
+    )
+
+
+def _sql_ann_rh_topk() -> str:
+    from ..operators.similarity import rh_planes
+
+    planes = rh_planes(RH_DIM, RH_BITS, RH_SEED)
+    plane_rows = ", ".join(
+        f"({j}, {i + 1}, {float(planes[j, i])!r})"
+        for j in range(RH_BITS)
+        for i in range(RH_DIM)
+    )
+    probe_rows = ", ".join(
+        ["(0)"] + [f"({1 << j})" for j in range(RH_BITS)]
+    )
+    return f"""
+WITH planes(j, i, w) AS (VALUES {plane_rows}),
+comp AS ({_SQL_EMB_COMPONENTS}),
+pdots AS (
+  SELECT c.vec_id, p.j, sum(c.v * p.w) AS dot
+  FROM comp c JOIN planes p ON c.i = p.i
+  GROUP BY c.vec_id, p.j),
+bkt AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN round(dot, {_RH_SIGN_DP}) >= 0
+                       THEN (1::BIGINT << j) ELSE 0 END) AS INT) AS bucket
+  FROM pdots GROUP BY vec_id),
+probes AS (
+  SELECT b.vec_id AS qid, xor(b.bucket, pr.m) AS bucket
+  FROM bkt b CROSS JOIN (VALUES {probe_rows}) pr(m)
+  WHERE b.vec_id < {ANN_N_QUERIES}),
+cand AS (
+  SELECT DISTINCT p.qid, d.vec_id AS did
+  FROM probes p JOIN bkt d ON d.bucket = p.bucket),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM comp GROUP BY vec_id),
+dots AS (
+  SELECT c.qid, c.did, sum(q.v * d.v) AS dot
+  FROM cand c
+  JOIN comp q ON q.vec_id = c.qid
+  JOIN comp d ON d.vec_id = c.did AND q.i = d.i
+  GROUP BY c.qid, c.did),
+cos AS (
+  SELECT qid, did, dot / (nq.nrm * nd.nrm) AS cosine
+  FROM dots JOIN norms nq ON dots.qid = nq.vec_id
+            JOIN norms nd ON dots.did = nd.vec_id),
+ranked AS (
+  SELECT qid AS query_id, did AS vec_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(cosine, 9) DESC, did) AS rank,
+         round(cosine, 4) AS cosine
+  FROM cos)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id, cosine
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
+SQL_ANN_RH_TOPK = _sql_ann_rh_topk()
 
 
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1088,8 +1211,10 @@ REGISTRY: dict[str, tuple] = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_bucketed_topk": (q_ann_bucketed_topk, SQL_ANN_BUCKETED_TOPK),
+    "ann_rh_topk": (q_ann_rh_topk, SQL_ANN_RH_TOPK),
     "embedding_cosine_pairs": (q_embedding_cosine_pairs, SQL_EMBEDDING_COSINE_PAIRS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "lang_id": (q_lang_id, SQL_LANG_ID),

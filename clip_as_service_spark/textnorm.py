@@ -170,3 +170,14 @@ class BpeTokenizer:
             mapped = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
             ids.extend(self.encoder[piece] for piece in self._bpe(mapped).split(" "))
         return ids
+
+    def decode(self, ids: list[int]) -> str:
+        """ids → text (reference simple_tokenizer.py:145-152): join vocab
+        pieces, invert the byte→unicode map, utf-8 decode with replacement,
+        then '</w>' end-of-word markers become spaces."""
+        if not hasattr(self, "_decoder"):
+            self._decoder = {i: tok for tok, i in self.encoder.items()}
+            self._byte_decoder = {c: b for b, c in self.byte_encoder.items()}
+        text = "".join(self._decoder[i] for i in ids)
+        data = bytearray(self._byte_decoder[c] for c in text)
+        return data.decode("utf-8", errors="replace").replace("</w>", " ")

@@ -1,6 +1,8 @@
-"""Optional CLIP-BPE path (textnorm.BpeTokenizer) — exercised only when the
-reference vocab artifact is present (read-only reference checkout)."""
+"""CLIP-BPE path (textnorm.BpeTokenizer): a generated mini merge table makes
+encode/decode run in ANY container; the full-vocab tests additionally run
+when the reference artifact is present (read-only reference checkout)."""
 
+import gzip
 import os
 
 import pytest
@@ -9,7 +11,73 @@ VOCAB = (
     "/root/reference/server/clip_server/resources/bpe_simple_vocab_16e6.txt.gz"
 )
 
-pytestmark = pytest.mark.skipif(
+# deterministic mini merge table (header line + merge rows) — enough to
+# merge common english digraphs; everything else falls back to bytes+</w>
+_MINI_MERGES = [
+    "#version: mini",
+    "t h",
+    "th e</w>",
+    "a n",
+    "an d</w>",
+    "i n",
+    "e r",
+    "o r",
+    "h e",
+    "w o",
+    "wo r",
+    "wor l",
+    "worl d</w>",
+    "h el",
+    "hel lo</w>",
+    "l o</w>",
+    "l l",
+    "e l",
+]
+
+
+@pytest.fixture(scope="module")
+def mini_bpe(tmp_path_factory):
+    from clip_as_service_spark.textnorm import BpeTokenizer
+
+    path = str(tmp_path_factory.mktemp("bpe") / "mini_vocab.txt.gz")
+    with gzip.open(path, "wb") as fh:
+        fh.write("\n".join(_MINI_MERGES).encode("utf-8"))
+    return BpeTokenizer(path)
+
+
+def test_mini_encode_decode_roundtrip(mini_bpe):
+    for text in (
+        "the world",
+        "hello world",
+        "in and or the",
+        "Queue zigzag!",
+        "Café &amp;amp; résumé",
+    ):
+        ids = mini_bpe.encode(text)
+        assert ids and all(isinstance(i, int) for i in ids)
+        # decode inverts encode up to the normalization the encoder applied
+        from clip_as_service_spark.textnorm import tokenize_words
+
+        assert mini_bpe.decode(ids).split() == tokenize_words(text)
+
+
+def test_mini_merges_applied(mini_bpe):
+    # "the" must encode as ONE id (th + e</w> merged), not three byte ids
+    ids = mini_bpe.encode("the")
+    assert len(ids) == 1
+    # unknown word falls back to multiple pieces
+    assert len(mini_bpe.encode("qzxvqt")) >= 2
+
+
+def test_mini_decode_unknown_bytes(mini_bpe):
+    # every single-byte id decodes (byte→unicode map is total + reversible)
+    ids = mini_bpe.encode("日本語 text")
+    assert mini_bpe.decode(ids).split()[-1] == "text"
+
+
+# --- full reference artifact (when present) --------------------------------
+
+full = pytest.mark.skipif(
     not os.path.exists(VOCAB), reason="BPE vocab artifact not available"
 )
 
@@ -21,12 +89,14 @@ def bpe():
     return BpeTokenizer(VOCAB)
 
 
+@full
 def test_vocab_size(bpe):
     # 256 bytes + 256 </w> + 48894 merges + 2 specials = 49408
     # (reference simple_tokenizer.py:74-82, tokenization.py:80-81)
     assert len(bpe.encoder) == 49408
 
 
+@full
 def test_encode_basics(bpe):
     ids = bpe.encode("hello world!")
     assert len(ids) == 3  # three whole-word vocab hits
@@ -34,11 +104,21 @@ def test_encode_basics(bpe):
     assert bpe.encode("hello world!") == ids  # deterministic + cached
 
 
+@full
 def test_unknown_word_splits_to_multiple_pieces(bpe):
     ids = bpe.encode("qzxvqt")
     assert len(ids) >= 2
 
 
+@full
 def test_normalization_flows_through(bpe):
     # same pipeline F1-F3 feeds BPE: case/whitespace collapse first
     assert bpe.encode("  HELLO   world! ") == bpe.encode("hello world!")
+
+
+@full
+def test_full_vocab_roundtrip(bpe):
+    from clip_as_service_spark.textnorm import tokenize_words
+
+    for text in ("hello world", "she smiled, with pain", "First do it right"):
+        assert bpe.decode(bpe.encode(text)).split() == tokenize_words(text)

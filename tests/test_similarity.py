@@ -1,0 +1,101 @@
+"""Random-hyperplane LSH (multi-table, multi-probe) semantics over the
+driver's embeddings table: candidates are re-ranked by EXACT cosine, results
+dedupe across tables, and recall stacks with table count."""
+
+from __future__ import annotations
+
+import pytest
+
+from clip_as_service_spark.operators import similarity as sim
+
+SF_DIR = "/root/testdata/sf0.001"
+K = 10
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries(spark, emb):
+    from pyspark.sql import functions as F
+
+    return emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+def _by_query(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], []).append(r)
+    return out
+
+
+def test_rh_topk_is_exact_on_candidates(spark, emb, queries):
+    """Returned cosines must equal the brute-force cosine for the same
+    (query, vec) pair — LSH restricts candidates, never perturbs scores."""
+    exact = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in sim.cosine_topk(emb, queries, k=500).collect()
+    }
+    got = sim.rh_bucketed_topk(
+        emb, queries, k=K, n_bits=8, dim=DIM, n_tables=4
+    ).collect()
+    assert got, "no candidates at all"
+    for r in got:
+        assert r["cosine"] == pytest.approx(
+            exact[(r["query_id"], r["vec_id"])], rel=1e-12
+        )
+
+
+def test_rh_topk_no_duplicates_and_ranked(spark, emb, queries):
+    got = _by_query(
+        sim.rh_bucketed_topk(emb, queries, k=K, n_bits=6, dim=DIM, n_tables=8)
+    )
+    for q, rows in got.items():
+        ids = [r["vec_id"] for r in rows]
+        assert len(ids) == len(set(ids)), f"duplicate vec_ids for query {q}"
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        cosines = [r["cosine"] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_rh_recall_stacks_with_tables(spark, emb, queries):
+    def recall(n_tables):
+        exact = _by_query(sim.cosine_topk(emb, queries, k=K))
+        got = _by_query(
+            sim.rh_bucketed_topk(
+                emb, queries, k=K, n_bits=8, dim=DIM, n_tables=n_tables
+            )
+        )
+        num = den = 0
+        for q, rows in exact.items():
+            hits = {r["vec_id"] for r in rows}
+            cand = {r["vec_id"] for r in got.get(q, [])}
+            num += len(hits & cand)
+            den += len(hits)
+        return num / den
+
+    r1, r8 = recall(1), recall(8)
+    assert r8 >= r1
+    assert r8 >= 0.5, f"8-table recall collapsed: {r8}"
+
+
+def test_rh_deterministic(spark, emb, queries):
+    a = sorted(
+        map(
+            tuple,
+            sim.rh_bucketed_topk(emb, queries, k=K, n_bits=8, dim=DIM).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            sim.rh_bucketed_topk(emb, queries, k=K, n_bits=8, dim=DIM).collect(),
+        )
+    )
+    assert a == b
