@@ -94,6 +94,26 @@ def main() -> None:
         lat.append(time.perf_counter() - t1)
     lat.sort()
     query_p50_ms = round(1000 * statistics.median(lat), 2)
+    query_profile = reader.profile_summary()
+
+    # distributed batch search with per-query auto routing: a low threshold
+    # forces head queries onto the exploded (fully distributed) plan while
+    # tail queries keep single-task WAND — the routed counts evidence both
+    # paths engage
+    qdf = spark.createDataFrame(
+        [(i, t) for i, t in dq.DOC_QUERIES], "query_id int, text string"
+    )
+    routing = wand.query_routing(spark, idx_dir, qdf, heavy_postings=10_000)
+    t0 = time.perf_counter()
+    n_batch = wand.search_topk(
+        spark, idx_dir, qdf, k=10, mode="auto", heavy_postings=10_000
+    ).count()
+    batch_auto_sec = round(time.perf_counter() - t0, 3)
+    routed = {
+        "wand": sum(1 for m in routing.values() if m == "wand"),
+        "exploded": sum(1 for m in routing.values() if m == "exploded"),
+        "rows": n_batch,
+    }
 
     # ANN recall@10 vs the exact brute-force baseline: axis-aligned 8-bit
     # LSH vs random-hyperplane LSH at the same 8 bits (isotropy win) and at
@@ -149,6 +169,9 @@ def main() -> None:
                 "n_docs": n_docs,
                 "cpus": int(cpus),
                 "ann_recall_at_10": ann_recall,
+                "query_phase_profile": query_profile,
+                "batch_search_auto_sec": batch_auto_sec,
+                "batch_search_routed": routed,
             }
         )
     )

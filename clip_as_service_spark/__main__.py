@@ -69,6 +69,8 @@ def cmd_search(args) -> int:
     for qid, text in queries:
         for rank, doc_id, score in reader.search(text, k=args.k):
             print(json.dumps({"query": qid, "rank": rank, "doc_id": doc_id, "score": score}))
+    if args.profile:
+        print(json.dumps({"profile": reader.profile_summary()}))
     return 0
 
 
@@ -107,7 +109,11 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--out", required=True)
     b.add_argument("--n-shards", type=int, default=32)
     b.add_argument("--salt-cutoff", type=int, default=50_000)
-    b.add_argument("--doc-id-method", default="hash", choices=["hash", "row_number"])
+    b.add_argument(
+        "--doc-id-method",
+        default="dense",
+        choices=["dense", "dense_sorted", "hash", "row_number"],
+    )
     b.set_defaults(fn=cmd_build)
 
     s = sub.add_parser("search", help="BM25 top-k search")
@@ -116,6 +122,10 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--queries-tsv")
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--engine", default="pyarrow", choices=["pyarrow", "spark"])
+    s.add_argument(
+        "--profile", action="store_true",
+        help="print per-phase (tokenize/fetch/score) p50/p95 after the results",
+    )
     s.set_defaults(fn=cmd_search)
 
     t = sub.add_parser("stats", help="index statistics")

@@ -194,6 +194,34 @@ def simhash_fingerprints(
     return fp
 
 
+def near_dup_pipeline(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """THE scale-default near-dup path: LSH candidates bound the Jaccard
+    verify → (id_a, id_b, jaccard ≥ threshold) verified pairs.
+
+    Standalone ngram_jaccard_pairs is exact but O(Σ df²) on the shingle
+    self-join — at web scale it must always be candidate-bounded, so this
+    composite is the default entry point; the unbounded form stays available
+    for small/oracle workloads. Greedy survivor policy: a downstream
+    `drop = pairs.select(id_b).distinct()` keeps the lowest id of every
+    duplicate cluster (transitively: any doc that is the higher id of some
+    verified pair is dropped — the standard keep-first policy, no iterative
+    connected components needed)."""
+    cand = lsh_candidate_pairs(
+        df, id_col, text_col, k=k, n_hashes=n_hashes, n_bands=n_bands
+    )
+    return ngram_jaccard_pairs(
+        df, id_col, text_col, k=k, threshold=threshold, candidates=cand
+    )
+
+
 def simhash_candidate_pairs(
     df: DataFrame,
     id_col: str,

@@ -119,19 +119,15 @@ def build_index(
 
     postings = store.read(spark, "postings")
 
-    # -- stage 1b: per-doc lengths (tiny; lets stats avoid re-grouping the
-    # full postings table by doc_id) -----------------------------------------
-    if not store.exists("doclens"):
-        t0 = time.perf_counter()
-        doclens = postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-        store.write(doclens, "doclens")
-        _log(spark, store, "doclens", t0)
-
-    # -- stage 2: corpus stats ---------------------------------------------
+    # -- stage 2: corpus stats — ONE job over postings (the per-doc group
+    # and the global fold fuse into a two-level aggregate; a separate
+    # doclens checkpoint would cost a full extra write+scan of an N-row
+    # table for a single downstream row) -------------------------------------
     if not store.exists("stats"):
         t0 = time.perf_counter()
         stats = (
-            store.read(spark, "doclens")
+            postings.groupBy("doc_id")
+            .agg(F.first("dl").alias("dl"))
             .agg(
                 F.count("*").alias("n_docs"),
                 F.sum("dl").alias("total_dl"),
@@ -312,16 +308,28 @@ def _build_blocks_stage(
         "salt", "block_id", "n", "first_doc", "last_doc", "max_w",
         "idf", "bytes", "docs", "ws",
     )
-    # co-locate each shard before the partitioned write: one task per
-    # shard dir instead of every task appending to every dir (the
-    # dynamic-partition write otherwise fans out tasks×shards files and
-    # scales negatively with cores). Sort within each shard file by
-    # (term, salt, block_id): parquet page/row-group min-max stats on
-    # `term` become selective, so query-time term lookups skip row
-    # groups instead of scanning the shard.
-    blocks = blocks.repartition("shard").sortWithinPartitions(
-        "term", "salt", "block_id"
+    # co-locate shards before the partitioned write, but DECOUPLE write
+    # parallelism from n_shards: repartitioning on shard alone caps the
+    # final sort+write at n_shards tasks, and each task then sorts a whole
+    # shard in 1/cores of the JVM execution-memory pool — measured at 1.6M
+    # docs: the 32-task write chain ran 2× SLOWER on 32 cores than on 8
+    # (spill-bound anti-scaling), and splitting the same data into 128
+    # smaller sort tasks cut it 69s → 18s. Each shard is sub-split by a
+    # term hash, so write tasks ≈ 2×cores regardless of shard count, a
+    # term's blocks stay within one file, and the within-file
+    # (shard, term, salt, block_id) sort keeps parquet row-group min-max
+    # stats on `term` selective for query-time skipping. Dynamic-partition
+    # fan-out stays bounded: each task holds a few (shard, sub) groups, not
+    # every shard.
+    target_write_tasks = max(
+        spark.sparkContext.defaultParallelism * 2, n_shards
     )
+    splits = max(1, -(-target_write_tasks // n_shards))  # ceil
+    blocks = blocks.repartition(
+        target_write_tasks,
+        F.col("shard"),
+        F.pmod(F.xxhash64("term"), F.lit(splits)),
+    ).sortWithinPartitions("shard", "term", "salt", "block_id")
     store.write(blocks, "blocks", partition_by=["shard"])
 
 

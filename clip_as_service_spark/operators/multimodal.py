@@ -66,12 +66,47 @@ def _fake_decode(media: bytes) -> tuple[int, int, int, np.ndarray]:
     return width, height, n_frames, feats
 
 
-def real_decode(media: bytes, mime: str):  # pragma: no cover - container lacks libs
-    """Real decode entry point — wire PIL/torchaudio/ffmpeg here.
+try:  # import-probed: the real image path engages wherever PIL exists
+    from PIL import Image as _PILImage
 
-    Reference pipeline to reproduce: blob → PIL.Image → Resize(bicubic) →
-    CenterCrop → RGB → ToTensor → Normalize(mean/std from
-    model/clip.py:30-37)."""
+    _HAVE_PIL = True
+except ImportError:  # pragma: no cover - absent in this container
+    _PILImage = None
+    _HAVE_PIL = False
+
+# CLIP preprocessing constants (reference model/clip.py:30-37)
+_CLIP_SIZE = 224
+_CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], dtype=np.float32)
+_CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], dtype=np.float32)
+
+
+def real_decode(media: bytes, mime: str):
+    """Real decode: blob → PIL.Image → Resize(bicubic, shorter side 224) →
+    CenterCrop(224) → RGB → normalize (mean/std from reference
+    model/clip.py:25-52) → channel-pooled N_FEATURES histogram.
+
+    Import-gated: raises NotImplementedError when PIL is absent (this
+    container — probed at import, see BASELINE.md blocked deps); runs for
+    image mime types wherever PIL is installed. Audio/video decode still
+    needs torchaudio/ffmpeg and stays gated."""
+    if _HAVE_PIL and (mime or "").startswith("image"):  # pragma: no cover
+        import io
+
+        img = _PILImage.open(io.BytesIO(media))
+        w0, h0 = img.size
+        scale = _CLIP_SIZE / min(w0, h0)
+        img = img.resize(
+            (round(w0 * scale), round(h0 * scale)), _PILImage.BICUBIC
+        )
+        w, h = img.size
+        left, top = (w - _CLIP_SIZE) // 2, (h - _CLIP_SIZE) // 2
+        img = img.crop((left, top, left + _CLIP_SIZE, top + _CLIP_SIZE))
+        arr = np.asarray(img.convert("RGB"), dtype=np.float32) / 255.0
+        arr = (arr - _CLIP_MEAN) / _CLIP_STD
+        lum = arr.mean(axis=2)
+        hist, _ = np.histogram(lum, bins=N_FEATURES, range=(-3.0, 3.0))
+        feats = (hist / hist.sum()).astype(np.float32)
+        return w0, h0, 1, feats
     raise NotImplementedError(
         "image/audio decode libraries are not available in this environment; "
         "use deterministic_fake=True for plumbing tests"

@@ -33,6 +33,7 @@ idf·w summed in ascending-term order; tie-break (score DESC, doc_id ASC).
 from __future__ import annotations
 
 import heapq
+import time
 from typing import Iterator, Sequence
 
 import numpy as np
@@ -281,6 +282,7 @@ class IndexReader:
         self.engine = engine
         self.strategy = strategy
         self.taat_max_postings = taat_max_postings
+        self.query_log: list[dict] = []
         self._term_rows_cache: dict[str, list] = {}
         if engine == "pyarrow":
             import pyarrow.dataset as pads
@@ -319,17 +321,41 @@ class IndexReader:
         return out
 
     def search(self, text: str, k: int = 10) -> list[tuple[int, int, float]]:
-        """→ [(rank, doc_id, score)] — exact BM25 top-k for one query."""
+        """→ [(rank, doc_id, score)] — exact BM25 top-k for one query.
+
+        Per-call phase timings (tokenize / block fetch / score) append to
+        ``self.query_log`` — the query-side analog of build_log lineage
+        (reference client.py:68-120 reports roundtrip/gateway/model timing
+        per call the same way); ``profile_summary()`` aggregates."""
+        t0 = time.perf_counter()
         terms = sorted(set(tokenize_words(text)))
+        t_tok = time.perf_counter()
+        entry = {
+            "n_terms": len(terms), "strategy": None,
+            "n_blocks": 0, "n_postings": 0,
+            "tokenize_ms": 1000 * (t_tok - t0),
+            "fetch_ms": 0.0, "score_ms": 0.0, "total_ms": 0.0,
+        }
         if not terms:
+            self.query_log.append(entry)
             return []
         rows = self._fetch_rows(terms)
+        t_fetch = time.perf_counter()
+        entry["fetch_ms"] = 1000 * (t_fetch - t_tok)
+        entry["n_blocks"] = len(rows)
+        entry["n_postings"] = sum(r.n for r in rows)
         if not rows:
+            entry["total_ms"] = 1000 * (time.perf_counter() - t0)
+            self.query_log.append(entry)
             return []
         strategy = self.strategy
         if strategy == "auto":
-            total = sum(r.n for r in rows)
-            strategy = "taat" if total <= self.taat_max_postings else "wand"
+            strategy = (
+                "taat"
+                if entry["n_postings"] <= self.taat_max_postings
+                else "wand"
+            )
+        entry["strategy"] = strategy
         if strategy == "taat":
             n_docs = (
                 self.meta["n_docs"]
@@ -337,8 +363,29 @@ class IndexReader:
                 in ("dense", "dense_sorted", "row_number")
                 else None
             )
-            return taat_topk(rows, k, n_docs=n_docs)
-        return wand_topk(_cursors_from_rows(rows), k)
+            out = taat_topk(rows, k, n_docs=n_docs)
+        else:
+            out = wand_topk(_cursors_from_rows(rows), k)
+        t_score = time.perf_counter()
+        entry["score_ms"] = 1000 * (t_score - t_fetch)
+        entry["total_ms"] = 1000 * (t_score - t0)
+        self.query_log.append(entry)
+        return out
+
+    def profile_summary(self) -> dict:
+        """p50/p95 per phase over this reader's query_log (profile verb)."""
+        import statistics
+
+        if not self.query_log:
+            return {"n_queries": 0}
+        out: dict = {"n_queries": len(self.query_log)}
+        for phase in ("tokenize_ms", "fetch_ms", "score_ms", "total_ms"):
+            vals = sorted(e[phase] for e in self.query_log)
+            out[phase] = {
+                "p50": round(statistics.median(vals), 3),
+                "p95": round(vals[int(0.95 * (len(vals) - 1))], 3),
+            }
+        return out
 
 
 class _ArrowRow:
@@ -399,9 +446,18 @@ def search_topk(
     index_dir: str,
     queries: DataFrame,
     k: int = 10,
-    mode: str = "wand",
+    mode: str = "auto",
+    heavy_postings: int = 20_000_000,
 ) -> DataFrame:
-    """→ (query_id, rank, doc_id, score); queries(query_id, text)."""
+    """→ (query_id, rank, doc_id, score); queries(query_id, text).
+
+    mode="auto" routes PER QUERY by estimated candidate volume (Σ block n —
+    read from block metadata columns only, never the payloads): queries under
+    ``heavy_postings`` run single-task WAND (parallelism = #queries, skipping
+    pays); heavier queries — a Zipf-head single-term query would serialize
+    its whole posting list into one WAND task — run the fully distributed
+    exploded plan instead. Mirrors the IndexReader driver-side auto strategy
+    (taat_max_postings) with the same crossover logic."""
     store = IndexStorage(index_dir)
     meta = store.read_meta()
     # query-terms table is tiny (Q·|q| rows): collect ONCE and rebuild as a
@@ -421,7 +477,60 @@ def search_topk(
         )
     if mode == "exploded":
         return _search_exploded(joined, k)
+    if mode == "auto":
+        # volume estimate: one tiny agg over (query_id, n) — parquet column
+        # pruning keeps the binary docs/ws columns unread
+        vols = _query_volumes(joined)
+        heavy = sorted(q for q, v in vols.items() if v > heavy_postings)
+        parts = []
+        if heavy:
+            parts.append(
+                _search_exploded(joined.filter(F.col("query_id").isin(heavy)), k)
+            )
+        light = sorted(q for q in vols if q not in set(heavy))
+        if light:
+            parts.append(
+                joined.filter(F.col("query_id").isin(light))
+                .groupBy("query_id")
+                .applyInPandas(_make_wand(k), schema=TOPK_SCHEMA)
+            )
+        if not parts:
+            return spark.createDataFrame([], TOPK_SCHEMA)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     raise ValueError(f"unknown mode {mode!r}")
+
+
+def _query_volumes(joined: DataFrame) -> dict[int, int]:
+    return {
+        r["query_id"]: r["v"]
+        for r in joined.groupBy("query_id").agg(F.sum("n").alias("v")).collect()
+    }
+
+
+def query_routing(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    heavy_postings: int = 20_000_000,
+) -> dict[int, str]:
+    """→ {query_id: 'wand'|'exploded'} — the routing mode='auto' would pick
+    (candidate posting volume vs threshold); exposed for bench/ops reporting."""
+    store = IndexStorage(index_dir)
+    meta = store.read_meta()
+    qt_rows = query_terms(queries).collect()
+    terms = sorted({r["term"] for r in qt_rows})
+    cand = _candidate_blocks(spark, store, terms, meta["n_shards"])
+    if cand is None or not qt_rows:
+        return {}
+    qt = spark.createDataFrame(qt_rows, "query_id int, term string")
+    vols = _query_volumes(cand.join(F.broadcast(qt), "term"))
+    return {
+        q: ("exploded" if v > heavy_postings else "wand")
+        for q, v in vols.items()
+    }
 
 
 def _make_wand(k: int):

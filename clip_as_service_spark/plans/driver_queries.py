@@ -764,6 +764,47 @@ WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.05
 """
 
 
+DEDUP_PIPE_THRESHOLD = 0.8
+
+
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-default composite: LSH candidates → Jaccard verify ≥ 0.8 —
+    the candidate-bounded path a 10^12-doc corpus must always take."""
+    docs = _t(spark, sf_dir, "documents")
+    return _dd.near_dup_pipeline(
+        docs, "doc_id", "text",
+        k=SHINGLE_K, n_hashes=N_HASHES, n_bands=N_BANDS,
+        threshold=DEDUP_PIPE_THRESHOLD,
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+SQL_DEDUP_PIPELINE = f"""
+WITH sig AS ({_sql_minhash_sig()}),
+bands AS ({_sql_bands()}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  JOIN cand c ON c.id_a = a.id AND c.id_b = b.id
+  GROUP BY a.id, b.id)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.id_a = sa.id
+JOIN sizes sb ON inter.id_b = sb.id
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {DEDUP_PIPE_THRESHOLD}
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return _dd.simhash_fingerprints(docs, "doc_id", "text", n_bits=SIMHASH_BITS).select(
@@ -1210,6 +1251,7 @@ REGISTRY: dict[str, tuple] = {
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_pipeline": (q_dedup_pipeline, SQL_DEDUP_PIPELINE),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),

@@ -60,6 +60,19 @@ def test_wand_exact_topk(spark, index_dir, oracle):
     _assert_matches_oracle(got, oracle)
 
 
+def test_auto_mode_routes_heavy_queries_exactly(spark, index_dir, oracle):
+    """mode=auto with a tiny heavy threshold: head-term queries take the
+    distributed exploded plan, tail queries take WAND — the union must be
+    rank-identical to the oracle (routing changes physics, not results)."""
+    queries = fixtures.queries_spark_df(spark)
+    got = _collect_topk(
+        wand.search_topk(
+            spark, index_dir, queries, k=K, mode="auto", heavy_postings=50
+        )
+    )
+    _assert_matches_oracle(got, oracle)
+
+
 def test_exploded_exact_topk(spark, index_dir, oracle):
     queries = fixtures.queries_spark_df(spark)
     got = _collect_topk(

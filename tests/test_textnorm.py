@@ -68,3 +68,19 @@ def test_byte_to_unicode_reversible():
     m = byte_to_unicode()
     assert len(m) == 256
     assert len(set(m.values())) == 256
+
+
+def test_ftfy_branch_when_importable():
+    """F1's primary branch (reference simple_tokenizer.py:58-61 uses
+    ftfy.fix_text first): when ftfy is importable, mojibake must be repaired
+    before unescape; when absent, both engine and oracle skip it identically
+    (the degradation is itself pinned by the byte-identity tests)."""
+    import pytest
+
+    ftfy = pytest.importorskip("ftfy")
+    from clip_as_service_spark.textnorm import _HAVE_FTFY, basic_clean
+
+    assert _HAVE_FTFY
+    # classic UTF-8-as-latin-1 mojibake; ftfy.fix_text repairs it
+    assert basic_clean("Ã©tÃ©") == ftfy.fix_text("Ã©tÃ©")
+    assert basic_clean("Ã©tÃ©") == "été"
