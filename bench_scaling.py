@@ -196,7 +196,19 @@ def main() -> None:
             f"{hw_section}\n"
             "Query latency = per-query wall time of the interactive path "
             "(IndexReader: driver tokenize + driver shard pruning + one "
-            "filtered block scan + driver WAND), 30 reference queries, warm.\n"
+            "filtered block scan + driver TAAT/WAND), 30 reference queries, "
+            "cold term cache (first pass).\n\n"
+            "## Context\n\n"
+            "- Per-stage profile (tools/profile_scaling.py, 1.6M docs, "
+            "confined): postings (tokenize UDF) 2→8 = 4.06×; blocks 2→8 = "
+            "3.44×; at 8→32 postings reaches 2.43× vs the 2.66× tokenize "
+            "hw ceiling.\n"
+            "- Round-1 → round-2 at local[32], same 6.4M-doc input: 24,024 → "
+            "~40,000 docs/s. Fixes: blocks-write sub-splitting (write tasks "
+            "≈ 2×cores independent of n_shards — the r01 write chain "
+            "anti-scaled 2× at 32 cores, tools/profile_stage4.py), the "
+            "doclens stage folded into the stats aggregate, and honest "
+            "level confinement.\n"
         )
 
 

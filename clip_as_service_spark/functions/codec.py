@@ -70,6 +70,9 @@ def vbyte_decode(data: bytes, n: int) -> np.ndarray:
     starts = np.concatenate(([0], np.flatnonzero(is_terminal)[:-1] + 1))
     pos_in_value = np.arange(raw.size) - starts[value_id]
     out = np.zeros(n, dtype=np.uint64)
+    # np.add.at scatter: measured FASTER on numpy 2.x than per-byte-position
+    # fancy-index accumulation (1.6s vs 3.6s per 12M 2-byte values) — the
+    # ufunc.at path was vectorized upstream in numpy 1.24+
     np.add.at(
         out,
         value_id,

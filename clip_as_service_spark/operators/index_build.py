@@ -40,19 +40,22 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
 from .. import B, K1
-from ..functions.codec import BLOCK_SIZE, encode_doc_gap_blocks, impact_weights
+from ..functions.codec import BLOCK_SIZE, encode_posting_blocks, impact_weights
 from ..sources.tables import IndexStorage
 from . import tokenize as tok
 
-# Block layout: doc ids are delta-gap + vByte; impact weights w =
-# tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) are precomputed float64 stored raw
-# (np.frombuffer decode — the query path never recomputes BM25 tf-norms;
-# tf/dl stay re-derivable from the postings checkpoint). max_w per block is
-# the WAND bound; idf is denormalized per term.
+# Block layout (format v2): docs are delta-gap + vByte; tf and dl are vByte
+# (~1-2 bytes each) and the impact weight w = tf·(k1+1)/(tf + k1·(1−b+b·dl/
+# avgdl)) is RECOMPUTED at query time by the same vectorized float64
+# impact_weights the build uses for max_w — bit-identical, and ~60% less
+# payload than the v1 raw-float64 w column (8 B/posting): at 6.4M docs a
+# Zipf-head query fetched ~100 MB of w bytes, dominating interactive fetch
+# latency. max_w per block is the WAND/early-stop bound; idf is denormalized
+# per term.
 BLOCKS_SCHEMA = (
     "term string, shard int, salt int, block_id int, n int, "
     "first_doc long, last_doc long, max_w double, idf double, "
-    "bytes int, docs binary, ws binary"
+    "bytes int, docs binary, tfs binary, dls binary"
 )
 
 
@@ -89,7 +92,7 @@ def build_index(
                 "salt_cutoff": salt_cutoff,
                 "target_sublist": target_sublist,
                 "doc_id_method": doc_id_method,
-                "version": 1,
+                "version": 2,  # block format v2: vByte tf+dl payloads, w recomputed
             }
         )
     meta = store.read_meta()
@@ -266,13 +269,11 @@ def _build_blocks_stage(
         tfs = tfs[order]
         dls = dls[order]
         n = len(doc_ids)
-        docs_b = encode_doc_gap_blocks(doc_ids)
+        docs_b, tfs_b, dls_b = encode_posting_blocks(doc_ids, tfs, dls)
         w = impact_weights(tfs, dls, avgdl, K1, B)
         starts = np.arange(0, n, BLOCK_SIZE)
         ends = np.minimum(starts + BLOCK_SIZE, n)
         max_w = np.maximum.reduceat(w, starts)
-        w_le = w.astype("<f8")
-        ws_b = [w_le[s:e].tobytes() for s, e in zip(starts, ends)]
         return pd.DataFrame(
             {
                 "tid": np.full(len(starts), tid, dtype=np.int64),
@@ -283,11 +284,12 @@ def _build_blocks_stage(
                 "last_doc": doc_ids[ends - 1],
                 "max_w": max_w,
                 "bytes": np.array(
-                    [len(a) + len(b) for a, b in zip(docs_b, ws_b)],
+                    [len(a) + len(b) + len(c) for a, b, c in zip(docs_b, tfs_b, dls_b)],
                     dtype=np.int32,
                 ),
                 "docs": docs_b,
-                "ws": ws_b,
+                "tfs": tfs_b,
+                "dls": dls_b,
             }
         )
 
@@ -295,7 +297,8 @@ def _build_blocks_stage(
         _build_blocks,
         schema=(
             "tid long, salt int, block_id int, n int, first_doc long, "
-            "last_doc long, max_w double, bytes int, docs binary, ws binary"
+            "last_doc long, max_w double, bytes int, docs binary, "
+            "tfs binary, dls binary"
         ),
     )
     # re-attach term string + idf via a LONG-key broadcast join on the
@@ -306,7 +309,7 @@ def _build_blocks_stage(
         "term",
         F.pmod(F.xxhash64("term"), F.lit(n_shards)).cast("int").alias("shard"),
         "salt", "block_id", "n", "first_doc", "last_doc", "max_w",
-        "idf", "bytes", "docs", "ws",
+        "idf", "bytes", "docs", "tfs", "dls",
     )
     # co-locate shards before the partitioned write, but DECOUPLE write
     # parallelism from n_shards: repartitioning on shard alone caps the
@@ -409,7 +412,7 @@ def merge_indexes(
                 "target_sublist": target_sublist,
                 "doc_id_method": "hash",
                 "merged_from": [p.root for p in parts],
-                "version": 1,
+                "version": 2,  # block format v2: vByte tf+dl payloads, w recomputed
             }
         )
     if not store.exists("postings"):

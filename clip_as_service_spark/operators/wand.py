@@ -41,7 +41,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.codec import decode_doc_gap_blocks_batch, vbyte_decode
+from ..functions.codec import (
+    decode_posting_blocks_batch,
+    impact_weights,
+    vbyte_decode,
+)
 from ..functions.hashing import term_shard
 from ..sources.tables import IndexStorage
 from ..textnorm import tokenize_words
@@ -57,14 +61,17 @@ _UB_SAFETY = 1.0 + 1e-9
 
 
 class _Cursor:
-    __slots__ = ("term", "idf", "ub", "blocks", "bi", "pos", "doc_ids", "ws")
+    __slots__ = (
+        "term", "idf", "ub", "blocks", "bi", "pos", "doc_ids", "ws", "_bm25",
+    )
 
-    def __init__(self, term: str, idf: float, blocks: Sequence):
-        # blocks: rows with .n/.first_doc/.last_doc/.max_w/.docs/.ws,
-        # sorted by first_doc
+    def __init__(self, term: str, idf: float, blocks: Sequence, bm25: tuple):
+        # blocks: rows with .n/.first_doc/.last_doc/.max_w/.docs/.tfs/.dls,
+        # sorted by first_doc; bm25 = (avgdl, k1, b) for w recomputation
         self.term = term
         self.idf = idf
         self.blocks = blocks
+        self._bm25 = bm25
         self.ub = idf * max(b.max_w for b in blocks)
         self.bi = 0
         self._load_block()
@@ -72,7 +79,11 @@ class _Cursor:
     def _load_block(self):
         row = self.blocks[self.bi]
         self.doc_ids = np.cumsum(vbyte_decode(row.docs, row.n))
-        self.ws = np.frombuffer(row.ws, dtype="<f8")
+        avgdl, k1, b = self._bm25
+        self.ws = impact_weights(
+            vbyte_decode(row.tfs, row.n), vbyte_decode(row.dls, row.n),
+            avgdl, k1, b,
+        )
         self.pos = 0
 
     @property
@@ -183,29 +194,68 @@ def wand_topk(cursors: list[_Cursor], k: int) -> list[tuple[int, int, float]]:
     return [(r, -d, s) for r, (s, d) in enumerate(ordered, 1)]
 
 
-def taat_topk(rows, k: int, n_docs: int | None = None) -> list[tuple[int, int, float]]:
-    """Vectorized exact term-at-a-time scorer: decode every candidate block
-    (numpy), accumulate idf·w per doc in ASCENDING-TERM order (bit-identical
-    to the oracle's fold), top-k via lexsort with the (score DESC, doc ASC)
-    tie-break. No skipping — O(total candidate postings) — but pure numpy,
-    so it beats Python-loop WAND whenever the candidate set fits memory;
-    WAND's skipping wins only on huge lists with selective thresholds."""
+def _decode_block_group(blks, bm25: tuple):
+    """Batch-decode a list of block rows of ONE term → (docs, w)."""
+    avgdl, k1, b = bm25
+    ns = np.array([r.n for r in blks], dtype=np.int64)
+    docs, tfs, dls = decode_posting_blocks_batch(
+        [r.docs for r in blks], [r.tfs for r in blks], [r.dls for r in blks], ns
+    )
+    return docs, impact_weights(tfs, dls, avgdl, k1, b)
+
+
+def taat_topk(
+    rows,
+    k: int,
+    bm25: tuple,
+    n_docs: int | None = None,
+    chunk_blocks: int = 4096,
+) -> list[tuple[int, int, float]]:
+    """Vectorized exact term-at-a-time scorer.
+
+    Single-term queries take a BLOCK-MAX EARLY-STOP path: blocks sort by
+    max_w DESC and decode in chunks; with one term, a decoded doc's partial
+    IS its exact score, so once k docs beat idf·(best undecoded max_w)
+    (inflated by the 1+1e-9 WAND safety so boundary ties keep decoding), the
+    Zipf-head tail never decodes — exact, and the common worst-latency case
+    ("the"-style head-term queries) skips most of its list.
+
+    Multi-term queries decode fully: a sum-of-remaining-UBs stop was measured
+    NET-SLOWER at 6.4M docs — with continuous score distributions the gap
+    between the kth partial and the best outsider is ~0, so the stop never
+    fires while its per-round bookkeeping costs real time. Skipping for
+    multi-term needs doc-at-a-time pointer movement (wand_topk) which Python
+    loops price out; the distributed exploded path covers heavy multi-term
+    batches instead. Accumulation is ascending-term (the oracle's float64
+    association); top-k via lexsort with the (score DESC, doc ASC) tie-break.
+    """
     by_term: dict[str, list] = {}
     for row in rows:
         by_term.setdefault(row.term, []).append(row)
+    if not by_term:
+        return []
+    terms = sorted(by_term)
 
-    decoded: list[tuple[str, np.ndarray, np.ndarray]] = []
-    all_docs = []
-    for term in sorted(by_term):
+    if len(terms) == 1:
+        return _taat_single_term(by_term[terms[0]], k, bm25, chunk_blocks)
+
+    decoded = []
+    for term in terms:
         # batch-decode the whole term's blocks in one vectorized pass
         # (sub-salt lists decode together: carry resets at every block)
         blks = by_term[term]
-        docs = decode_doc_gap_blocks_batch(
-            [r.docs for r in blks], np.array([r.n for r in blks], dtype=np.int64)
-        )
-        w = np.frombuffer(b"".join(r.ws for r in blks), dtype="<f8")
+        docs, w = _decode_block_group(blks, bm25)
         decoded.append((term, docs, blks[0].idf * w))
-        all_docs.append(docs)
+    return taat_topk_decoded(decoded, k, n_docs=n_docs)
+
+
+def taat_topk_decoded(
+    decoded: list, k: int, n_docs: int | None = None
+) -> list[tuple[int, int, float]]:
+    """Exact top-k from pre-decoded per-term postings: `decoded` is
+    [(term, docs, idf·w)] in ASCENDING-TERM order (the oracle's float64
+    association). Split out so IndexReader can memoize decoded terms across
+    queries (head terms repeat; decode dominates warm latency)."""
     if not decoded:
         return []
     if n_docs is not None:
@@ -213,25 +263,57 @@ def taat_topk(rows, k: int, n_docs: int | None = None) -> list[tuple[int, int, f
         # BM25 partials are strictly > 0, so score 0 ⇔ no query term matched
         # (non-candidates stay out of the top-k, reference invariant
         # tests/test_search.py:41-44). Sized by max(n_docs, max decoded id)
-        # so an index whose stats undercount (e.g. built before zero-token
-        # docs were carried) can never IndexError — it just over-allocates.
+        # so an index whose stats undercount can never IndexError.
         max_seen = max(int(d.max()) for _t, d, _w in decoded)
         dense = np.zeros(max(n_docs, max_seen) + 1, dtype=np.float64)
         for _term, docs, partials in decoded:  # ascending-term accumulation
             dense[docs] += partials
-        cand_ids = np.flatnonzero(dense > 0.0)
-        universe = cand_ids
-        scores = dense[cand_ids]
+        universe = np.flatnonzero(dense > 0.0)
+        scores = dense[universe]
     else:
-        universe = np.unique(np.concatenate(all_docs))
+        universe = np.unique(np.concatenate([d for _t, d, _w in decoded]))
         scores = np.zeros(len(universe), dtype=np.float64)
         for _term, docs, partials in decoded:  # ascending-term accumulation
             scores[np.searchsorted(universe, docs)] += partials
+    return _topk_from_arrays(universe, scores, k)
+
+
+def _taat_single_term(blks, k: int, bm25: tuple, chunk_blocks: int):
+    """Single-term exact top-k with block-max early stop (see taat_topk)."""
+    blks = sorted(blks, key=lambda r: -r.max_w)
+    idf = float(blks[0].idf)
+    doc_parts: list[np.ndarray] = []
+    score_parts: list[np.ndarray] = []
+    n_seen = 0
+    kth = None
+    i = 0
+    while i < len(blks):
+        chunk = blks[i : i + chunk_blocks]
+        i += len(chunk)
+        docs, w = _decode_block_group(chunk, bm25)
+        doc_parts.append(docs)
+        score_parts.append(idf * w)
+        n_seen += len(docs)
+        if i >= len(blks):
+            break
+        if n_seen >= k:
+            scores = np.concatenate(score_parts) if len(score_parts) > 1 else score_parts[0]
+            kth = -np.partition(-scores, k - 1)[k - 1] if len(scores) >= k else None
+            if kth is not None and idf * blks[i].max_w * _UB_SAFETY < kth:
+                break  # no undecoded doc can reach (or tie) the kth score
+    universe = np.concatenate(doc_parts)
+    scores = np.concatenate(score_parts)
+    return _topk_from_arrays(universe, scores, k)
+
+
+def _topk_from_arrays(universe: np.ndarray, scores: np.ndarray, k: int):
+    """(score DESC, doc ASC) top-k over parallel arrays; boundary ties kept
+    through the kth-score threshold so the doc_id tie-break stays exact."""
+    if len(universe) == 0:
+        return []
     if len(universe) <= k:
         order = np.lexsort((universe, -scores))
     else:
-        # kth-largest score as threshold, keeping ALL boundary ties so the
-        # doc_id tie-break stays exact
         kth_score = -np.partition(-scores, k - 1)[k - 1]
         cand = np.flatnonzero(scores >= kth_score)
         order = cand[np.lexsort((universe[cand], -scores[cand]))]
@@ -241,14 +323,14 @@ def taat_topk(rows, k: int, n_docs: int | None = None) -> list[tuple[int, int, f
     return out
 
 
-def _cursors_from_rows(rows) -> list[_Cursor]:
+def _cursors_from_rows(rows, bm25: tuple) -> list[_Cursor]:
     by_key: dict[tuple, list] = {}
     for row in rows:
         by_key.setdefault((row.term, row.salt), []).append(row)
     cursors = []
     for (term, _salt), blks in by_key.items():
         blks.sort(key=lambda r: r.first_doc)
-        cursors.append(_Cursor(term, float(blks[0].idf), blks))
+        cursors.append(_Cursor(term, float(blks[0].idf), blks, bm25))
     return cursors
 
 
@@ -282,8 +364,21 @@ class IndexReader:
         self.engine = engine
         self.strategy = strategy
         self.taat_max_postings = taat_max_postings
+        if self.meta.get("version") != 2:
+            raise ValueError(
+                f"index at {index_dir} has block format "
+                f"v{self.meta.get('version')}; this reader needs v2 "
+                "(vByte tf/dl payloads) — rebuild the index"
+            )
+        self._bm25 = (
+            float(self.meta["avgdl"]), float(self.meta["k1"]), float(self.meta["b"])
+        )
         self.query_log: list[dict] = []
         self._term_rows_cache: dict[str, list] = {}
+        # decoded-term memo: head terms repeat across interactive queries, and
+        # decode (vByte + impact_weights) dominates warm latency — cache the
+        # decoded (docs, idf·w) per term (~16 B/posting; reset via clear())
+        self._decoded_cache: dict[str, tuple] = {}
         if engine == "pyarrow":
             import pyarrow.dataset as pads
 
@@ -304,7 +399,8 @@ class IndexReader:
 
                 tbl = self._ds.to_table(
                     filter=pc.field("shard").isin(shards)
-                    & pc.field("term").isin(missing)
+                    & pc.field("term").isin(missing),
+                    columns=list(_ARROW_COLS),
                 )
                 fetched = _arrow_rows(tbl)
             else:
@@ -319,6 +415,16 @@ class IndexReader:
         for t in terms:
             out.extend(self._term_rows_cache.get(t, []))
         return out
+
+    def _decoded_term(self, t: str) -> tuple:
+        """(term, docs, idf·w) — full decode of one term's blocks, memoized."""
+        hit = self._decoded_cache.get(t)
+        if hit is None:
+            blks = self._term_rows_cache[t]
+            docs, w = _decode_block_group(blks, self._bm25)
+            hit = (t, docs, float(blks[0].idf) * w)
+            self._decoded_cache[t] = hit
+        return hit
 
     def search(self, text: str, k: int = 10) -> list[tuple[int, int, float]]:
         """→ [(rank, doc_id, score)] — exact BM25 top-k for one query.
@@ -363,9 +469,17 @@ class IndexReader:
                 in ("dense", "dense_sorted", "row_number")
                 else None
             )
-            out = taat_topk(rows, k, n_docs=n_docs)
+            hit_terms = [t for t in terms if self._term_rows_cache.get(t)]
+            if len(hit_terms) == 1 and hit_terms[0] not in self._decoded_cache:
+                # cold single-term: block-max early stop (partial decode —
+                # deliberately NOT cached: the memo stores only full lists)
+                out = taat_topk(rows, k, self._bm25, n_docs=n_docs)
+            else:
+                out = taat_topk_decoded(
+                    [self._decoded_term(t) for t in hit_terms], k, n_docs=n_docs
+                )
         else:
-            out = wand_topk(_cursors_from_rows(rows), k)
+            out = wand_topk(_cursors_from_rows(rows, self._bm25), k)
         t_score = time.perf_counter()
         entry["score_ms"] = 1000 * (t_score - t_fetch)
         entry["total_ms"] = 1000 * (t_score - t0)
@@ -388,41 +502,23 @@ class IndexReader:
         return out
 
 
-class _ArrowRow:
-    __slots__ = (
-        "term", "salt", "block_id", "n", "first_doc", "last_doc",
-        "max_w", "idf", "docs", "ws",
-    )
+_ARROW_COLS = (
+    "term", "salt", "block_id", "n", "first_doc", "last_doc",
+    "max_w", "idf", "docs", "tfs", "dls",
+)
 
-    def __init__(self, term, salt, block_id, n, first_doc, last_doc, max_w, idf, docs, ws):
-        self.term = term
-        self.salt = salt
-        self.block_id = block_id
-        self.n = n
-        self.first_doc = first_doc
-        self.last_doc = last_doc
-        self.max_w = max_w
-        self.idf = idf
-        self.docs = docs
-        self.ws = ws
+
+class _ArrowRow:
+    __slots__ = _ARROW_COLS
+
+    def __init__(self, *vals):
+        for name, v in zip(_ARROW_COLS, vals):
+            setattr(self, name, v)
 
 
 def _arrow_rows(tbl) -> list[_ArrowRow]:
-    cols = {
-        name: tbl.column(name).to_pylist()
-        for name in (
-            "term", "salt", "block_id", "n", "first_doc", "last_doc",
-            "max_w", "idf", "docs", "ws",
-        )
-    }
-    return [
-        _ArrowRow(
-            cols["term"][i], cols["salt"][i], cols["block_id"][i], cols["n"][i],
-            cols["first_doc"][i], cols["last_doc"][i], cols["max_w"][i],
-            cols["idf"][i], cols["docs"][i], cols["ws"][i],
-        )
-        for i in range(tbl.num_rows)
-    ]
+    cols = [tbl.column(name).to_pylist() for name in _ARROW_COLS]
+    return [_ArrowRow(*vals) for vals in zip(*cols)]
 
 
 # ---------------------------------------------------------------------------
@@ -460,6 +556,7 @@ def search_topk(
     (taat_max_postings) with the same crossover logic."""
     store = IndexStorage(index_dir)
     meta = store.read_meta()
+    bm25 = (float(meta["avgdl"]), float(meta["k1"]), float(meta["b"]))
     # query-terms table is tiny (Q·|q| rows): collect ONCE and rebuild as a
     # local DataFrame — no .cache() to leak, and the term list for shard
     # pruning falls out of the same pass
@@ -473,10 +570,10 @@ def search_topk(
 
     if mode == "wand":
         return joined.groupBy("query_id").applyInPandas(
-            _make_wand(k), schema=TOPK_SCHEMA
+            _make_wand(k, bm25), schema=TOPK_SCHEMA
         )
     if mode == "exploded":
-        return _search_exploded(joined, k)
+        return _search_exploded(joined, k, bm25)
     if mode == "auto":
         # volume estimate: one tiny agg over (query_id, n) — parquet column
         # pruning keeps the binary docs/ws columns unread
@@ -485,14 +582,16 @@ def search_topk(
         parts = []
         if heavy:
             parts.append(
-                _search_exploded(joined.filter(F.col("query_id").isin(heavy)), k)
+                _search_exploded(
+                    joined.filter(F.col("query_id").isin(heavy)), k, bm25
+                )
             )
         light = sorted(q for q in vols if q not in set(heavy))
         if light:
             parts.append(
                 joined.filter(F.col("query_id").isin(light))
                 .groupBy("query_id")
-                .applyInPandas(_make_wand(k), schema=TOPK_SCHEMA)
+                .applyInPandas(_make_wand(k, bm25), schema=TOPK_SCHEMA)
             )
         if not parts:
             return spark.createDataFrame([], TOPK_SCHEMA)
@@ -533,7 +632,7 @@ def query_routing(
     }
 
 
-def _make_wand(k: int):
+def _make_wand(k: int, bm25: tuple):
     def _wand(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return pd.DataFrame(
@@ -541,7 +640,7 @@ def _make_wand(k: int):
             )
         query_id = int(pdf["query_id"].iloc[0])
         result = wand_topk(
-            _cursors_from_rows(list(pdf.itertuples(index=False))), k
+            _cursors_from_rows(list(pdf.itertuples(index=False)), bm25), k
         )
         return pd.DataFrame(
             {
@@ -555,9 +654,10 @@ def _make_wand(k: int):
     return _wand
 
 
-def _search_exploded(joined: DataFrame, k: int) -> DataFrame:
+def _search_exploded(joined: DataFrame, k: int, bm25: tuple) -> DataFrame:
     """decode → (query_id, term, doc_id, partial) rows → ordered-fold sum →
     window top-k. `joined` = candidate blocks × query terms."""
+    avgdl, k1, b = bm25
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -565,7 +665,10 @@ def _search_exploded(joined: DataFrame, k: int) -> DataFrame:
             for row in pdf.itertuples(index=False):
                 n = row.n
                 doc_ids = np.cumsum(vbyte_decode(row.docs, n))
-                w = np.frombuffer(row.ws, dtype="<f8")
+                w = impact_weights(
+                    vbyte_decode(row.tfs, n), vbyte_decode(row.dls, n),
+                    avgdl, k1, b,
+                )
                 qids.append(np.full(n, row.query_id, dtype=np.int64))
                 terms.append(np.repeat(np.array([row.term], dtype=object), n))
                 docs.append(doc_ids)

@@ -98,6 +98,29 @@ def test_index_reader_interactive_exact(spark, index_dir, oracle, engine, strate
     assert reader.search(q0["text"], k=K) == reader.search(q0["text"], k=K)
 
 
+def test_taat_early_stop_chunked_exact(spark, index_dir, oracle):
+    """chunk_blocks=1 forces the early-stop machinery through many rounds
+    (bound re-checks, mid-stream stop, phase-B decode of skipped blocks) —
+    results must stay rank- and score-identical to the oracle."""
+    from clip_as_service_spark.operators.wand import taat_topk
+    from clip_as_service_spark.textnorm import tokenize_words
+
+    reader = wand.IndexReader(None, index_dir, engine="pyarrow")
+    for q in fixtures.make_queries()[:25]:
+        terms = sorted(set(tokenize_words(q["text"])))
+        rows = reader._fetch_rows(terms) if terms else []
+        if not rows:
+            continue
+        got = taat_topk(
+            rows, K, reader._bm25,
+            n_docs=reader.meta["n_docs"], chunk_blocks=1,
+        )
+        expected = oracle.topk(q["text"], k=K)
+        assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in expected], q
+        for (_, _, se), (_, _, sg) in zip(expected, got):
+            assert sg == pytest.approx(se, rel=1e-12)
+
+
 def test_salting_created_sublists(spark, index_dir):
     blocks = IndexStorage(index_dir).read(spark, "blocks")
     n_salted = blocks.filter("salt > 0").count()
@@ -238,7 +261,8 @@ def test_index_bitwise_partition_invariance(spark, tmp_path, index_dir):
             (
                 r["term"], r["salt"], r["block_id"], r["n"], r["first_doc"],
                 r["last_doc"], repr(r["max_w"]), repr(r["idf"]),
-                bytes(r["docs"]).hex(), bytes(r["ws"]).hex(),
+                bytes(r["docs"]).hex(), bytes(r["tfs"]).hex(),
+                bytes(r["dls"]).hex(),
             )
             for r in blocks.collect()
         )
