@@ -89,6 +89,92 @@ def start_postings_stream(
     return writer.start()
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_id int, n_events long, value_sum double"
+)
+_SESSION_STATE_SCHEMA = (
+    "session_id int, last_ts long, n_events long, value_sum double"
+)
+
+
+def sessionize_stream(events_stream: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """CUSTOM STATEFUL operator via applyInPandasWithState: per-user
+    inactivity-gap sessionization over an event stream — the streaming form
+    of the batch `events_sessionize` query (lag+cumsum windows).
+
+    State per user = the OPEN session (id, last event second, aggregates);
+    a batch CLOSES a session when an event arrives > gap_sec after it, and
+    closed sessions are emitted append-mode. The open tail session stays in
+    state across micro-batches (and is never emitted until closed — stream
+    semantics; the batch query emits it because a batch has an end).
+
+    Gap arithmetic uses whole epoch seconds (unix_timestamp semantics) so
+    stream and batch agree bit-for-bit on boundaries. In-batch work is
+    vectorized (numpy diff + pandas groupby); only the state splice is
+    scalar. Requires per-user event-time-ordered arrival across batches —
+    the ingest contract of a log-structured event source (file order here;
+    kafka partition-by-user in production)."""
+    import numpy as np
+    import pandas as pd
+
+    def _fn(key, pdfs, state):
+        user_id = int(key[0])
+        rows = pd.concat(list(pdfs))
+        if rows.empty:
+            yield pd.DataFrame(
+                columns=["user_id", "session_id", "n_events", "value_sum"]
+            )
+            return
+        rows = rows.sort_values(["ts", "event_id"])
+        ts = rows["ts"].values.astype("datetime64[s]").astype(np.int64)
+        vals = rows["value"].to_numpy(dtype=np.float64)
+        if state.exists:
+            sid0, last_ts, n0, v0 = state.get
+        else:
+            sid0, last_ts, n0, v0 = 0, None, 0, 0.0
+        prev = np.empty_like(ts)
+        prev[0] = last_ts if last_ts is not None else np.iinfo(np.int64).min
+        prev[1:] = ts[:-1]
+        new_s = (ts - prev) > gap_sec
+        if last_ts is None:
+            new_s[0] = True
+        sid = sid0 + np.cumsum(new_s.astype(np.int64))
+        df = pd.DataFrame({"sid": sid, "v": vals})
+        agg = df.groupby("sid", sort=True).agg(
+            n=("v", "size"), vsum=("v", "sum")
+        )
+        # splice the carried open session into its continuation (same sid)
+        if n0 and sid0 in agg.index:
+            agg.loc[sid0, "n"] += n0
+            agg.loc[sid0, "vsum"] += v0
+            n0 = 0
+        out = []
+        if n0:  # carried session closed by this batch's first event
+            out.append((user_id, int(sid0), int(n0), float(v0)))
+        last_sid = int(sid[-1])
+        for s, row in agg.iterrows():
+            if int(s) != last_sid:
+                out.append((user_id, int(s), int(row["n"]), float(row["vsum"])))
+        open_row = agg.loc[last_sid]
+        state.update(
+            (last_sid, int(ts[-1]), int(open_row["n"]), float(open_row["vsum"]))
+        )
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_id", "n_events", "value_sum"]
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _fn,
+        SESSION_OUT_SCHEMA,
+        _SESSION_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window: str = "1 hour",

@@ -83,3 +83,57 @@ def test_windowed_event_counts_stream(spark, tmp_path):
     assert len(got) > 0
     for key, val in got.items():
         assert expected[key] == val
+
+
+def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization across MULTIPLE micro-batches
+    (maxFilesPerTrigger=1 over time-ordered files): every emitted (closed)
+    session must equal the batch sessionizer's output; the per-user OPEN
+    tail session is the only difference (a stream never sees the end)."""
+    ev_dir = str(tmp_path / "ev_sess")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    # three time-ordered files -> three micro-batches; cross-batch sessions
+    # exercise the carried state (continue, close, splice)
+    rows = sorted(events.collect(), key=lambda r: (r["ts"], r["event_id"]))
+    n = len(rows)
+    for i, chunk in enumerate([rows[: n // 3], rows[n // 3 : 2 * n // 3], rows[2 * n // 3 :]]):
+        spark.createDataFrame(chunk, events.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ev_dir)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_dir)
+    )
+    out = incremental.sessionize_stream(stream, gap_sec=1800)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["session_id"]): (r["n_events"], round(r["value_sum"], 6))
+        for r in spark.sql("select * from sessions").collect()
+    }
+
+    from clip_as_service_spark.plans.driver_queries import q_events_sessionize
+
+    batch = {}
+    last_sid = {}
+    for r in q_events_sessionize(spark, "/root/testdata/sf0.001").collect():
+        batch[(r["user_id"], r["session_id"])] = (
+            r["n_events"], round(r["value_sum"], 6),
+        )
+        last_sid[r["user_id"]] = max(last_sid.get(r["user_id"], 0), r["session_id"])
+
+    expected_closed = {
+        k: v for k, v in batch.items() if k[1] != last_sid[k[0]]
+    }
+    assert got == expected_closed
+    assert len(got) > 0
