@@ -805,6 +805,30 @@ WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {DEDUP_PIPE_THRESHOLD}
 """
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy keep-lowest-id survivor set: drop every doc that is the higher
+    id of some verified near-dup pair (exact dups are Jaccard-1.0 pairs, so
+    one policy covers both) — the doc set a training pipeline would keep."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _dd.near_dup_pipeline(
+        docs, "doc_id", "text",
+        k=SHINGLE_K, n_hashes=N_HASHES, n_bands=N_BANDS,
+        threshold=DEDUP_PIPE_THRESHOLD,
+    )
+    drops = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return (
+        docs.join(drops, "doc_id", "left_anti")
+        .select(F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+
+SQL_DEDUP_SURVIVORS = f"""
+WITH pipe AS ({SQL_DEDUP_PIPELINE})
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id_b FROM pipe)
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return _dd.simhash_fingerprints(docs, "doc_id", "text", n_bits=SIMHASH_BITS).select(
@@ -1252,6 +1276,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_pipeline": (q_dedup_pipeline, SQL_DEDUP_PIPELINE),
+    "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
