@@ -416,6 +416,11 @@ class IndexReader:
             out.extend(self._term_rows_cache.get(t, []))
         return out
 
+    # decoded-cache bound: ~16 B/posting; 4096 terms of a Zipfian vocabulary
+    # cover the head that actually repeats, and eviction is FIFO (dict order)
+    # — an LRU buys little when the hot set is the Zipf head
+    DECODED_CACHE_MAX_TERMS = 4096
+
     def _decoded_term(self, t: str) -> tuple:
         """(term, docs, idf·w) — full decode of one term's blocks, memoized."""
         hit = self._decoded_cache.get(t)
@@ -423,6 +428,8 @@ class IndexReader:
             blks = self._term_rows_cache[t]
             docs, w = _decode_block_group(blks, self._bm25)
             hit = (t, docs, float(blks[0].idf) * w)
+            if len(self._decoded_cache) >= self.DECODED_CACHE_MAX_TERMS:
+                self._decoded_cache.pop(next(iter(self._decoded_cache)))
             self._decoded_cache[t] = hit
         return hit
 

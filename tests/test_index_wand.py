@@ -121,6 +121,23 @@ def test_taat_early_stop_chunked_exact(spark, index_dir, oracle):
             assert sg == pytest.approx(se, rel=1e-12)
 
 
+def test_reader_rejects_v1_index(spark, index_dir, tmp_path):
+    """A v1 (raw-weight payload) index must be rejected loudly, not decoded
+    into garbage scores."""
+    import json
+    import os
+    import shutil
+
+    old = str(tmp_path / "idx_v1")
+    shutil.copytree(index_dir, old)
+    meta_path = os.path.join(old, "_meta.json")
+    meta = json.load(open(meta_path))
+    meta["version"] = 1
+    json.dump(meta, open(meta_path, "w"))
+    with pytest.raises(ValueError, match="block format"):
+        wand.IndexReader(None, old, engine="pyarrow")
+
+
 def test_salting_created_sublists(spark, index_dir):
     blocks = IndexStorage(index_dir).read(spark, "blocks")
     n_salted = blocks.filter("salt > 0").count()
