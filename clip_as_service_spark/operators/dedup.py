@@ -16,7 +16,9 @@ has a byte-equivalent SQL oracle.
 
 Scale notes: every shuffle key here is (doc, shingle) / (band, bucket) —
 near-uniform. The LSH band join is the standard way to avoid the O(N²)
-cross join at 10^12 docs; the Jaccard verifier only sees LSH candidates.
+cross join at 10^12 docs; with candidates supplied, the Jaccard verifier's
+COMPUTE (not just its output) is candidate-driven — the shingle self-join
+never executes (candidate_intersections).
 """
 
 from __future__ import annotations
@@ -118,6 +120,34 @@ def lsh_candidate_pairs(
     )
 
 
+def candidate_intersections(sh: DataFrame, cand: DataFrame) -> DataFrame:
+    """→ (id_a, id_b, inter) shingle-intersection counts computed FROM the
+    candidate pairs — the shingle self-join never executes.
+
+    Plan shape: semi-join each side's shingles down to candidate doc ids,
+    then route candidate pairs through (id_a)-shingles and equi-join on
+    (id_b, shingle). Join work is Σ_pairs |shingles(a)| + an equi-join keyed
+    on (id, shingle) — bounded by the candidate set, NOT by Σ df² (a single
+    boilerplate shingle shared by 10⁶ docs contributes 10⁶ rows here, not
+    5·10¹¹ self-join rows). Candidate pairs with an empty intersection drop
+    out (they could never pass a positive Jaccard threshold)."""
+    cand = cand.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_ids, "id", "left_semi")
+    sha = sh_c.select(F.col("id").alias("id_a"), "shingle")
+    shb = sh_c.select(F.col("id").alias("id_b"), "shingle")
+    return (
+        cand.join(sha, "id_a")
+        .join(shb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -129,23 +159,38 @@ def ngram_jaccard_pairs(
     """→ (id_a, id_b, jaccard) exact shingle-set Jaccard ≥ threshold.
 
     Without `candidates`, pairs come from the shingle equi-join (docs sharing
-    ≥1 shingle) — exact but O(Σ df²) in the worst case; pass LSH candidates
-    to bound it at scale."""
+    ≥1 shingle) — exact but O(Σ df²) in the worst case; small/oracle
+    workloads only. With `candidates` the verify is CANDIDATE-DRIVEN: both
+    compute and output are bounded by the candidate set (see
+    candidate_intersections) — the only shape that exists at 10^12 docs."""
     sh = shingles(df, id_col, text_col, k)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+        inter = candidate_intersections(sh, candidates)
+        # sizes only needed for candidate docs — semi-join before the agg
+        sizes = (
+            sh.join(
+                candidates.select(F.col("id_a").alias("id"))
+                .union(candidates.select(F.col("id_b").alias("id")))
+                .distinct(),
+                "id",
+                "left_semi",
+            )
+            .groupBy("id")
+            .agg(F.count("*").alias("sz"))
+        )
+    else:
+        sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+        a = sh.alias("a")
+        b = sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count("*").alias("inter"))
+        )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
@@ -241,17 +286,46 @@ def simhash_candidate_pairs(
     ruin at most d bands), so the default max_hamming = n_bands−1 is exact,
     not approximate. Candidates are verified with exact bit_count(xor).
 
-    Scale shape: band/key equi-join — identical to lsh_candidate_pairs, no
-    cross join anywhere. Degenerate fingerprints (e.g. all-zero from empty
-    docs) form one hot bucket; at 10^12 docs cap bucket size upstream by
-    exact-dedup'ing first (exact dups are Hamming-0 trivially)."""
+    Scale shape: band/key equi-join — but over DISTINCT FINGERPRINTS, not
+    docs (fp_candidate_pairs). Degenerate fingerprints (all-zero from
+    empty-ish docs, boilerplate pages) collapse to ONE row per band in the
+    join regardless of how many docs share them — the hot-bucket blowup is
+    auto-guarded; the docs expand back only per verified fingerprint pair
+    (and same-fingerprint groups, whose pairs are genuine Hamming-0 output).
+    """
     if max_hamming is None:
         max_hamming = n_bands - 1
+    fp = simhash_fingerprints(df, id_col, text_col, n_bits)
+    fpp = fp_candidate_pairs(fp, n_bits, n_bands, max_hamming)
+    ga = fp.select(F.col("id").alias("_ida"), F.col("simhash").alias("sh_a"))
+    gb = fp.select(F.col("id").alias("_idb"), F.col("simhash").alias("sh_b"))
+    return (
+        fpp.join(ga, "sh_a")
+        .join(gb, "sh_b")
+        .filter(F.col("_ida") != F.col("_idb"))
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "hamming",
+        )
+        .distinct()
+    )
+
+
+def fp_candidate_pairs(
+    fp: DataFrame, n_bits: int, n_bands: int, max_hamming: int
+) -> DataFrame:
+    """→ (sh_a ≤ sh_b, hamming ≤ max_hamming) over DISTINCT fingerprints.
+
+    The banded equi-join runs on the distinct-fingerprint table: a fixture
+    where m docs share one degenerate fingerprint contributes 1 band row per
+    band here, not m (the m·(m−1)/2 doc pairs are expansion output, never
+    join compute). sh_a == sh_b (Hamming 0) is kept so same-fingerprint doc
+    groups expand to their pairs downstream."""
     band_bits = n_bits // n_bands
     mask = (1 << band_bits) - 1
-    fp = simhash_fingerprints(df, id_col, text_col, n_bits)
-    bands = fp.select(
-        "id",
+    dfp = fp.select("simhash").distinct()
+    bands = dfp.select(
         "simhash",
         F.explode(
             F.array(
@@ -267,8 +341,7 @@ def simhash_candidate_pairs(
             )
         ).alias("bk"),
     ).select(
-        "id", "simhash",
-        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+        "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -277,11 +350,9 @@ def simhash_candidate_pairs(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.simhash") <= F.col("b.simhash")),
         )
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
             F.col("a.simhash").alias("sh_a"),
             F.col("b.simhash").alias("sh_b"),
         )
@@ -291,7 +362,6 @@ def simhash_candidate_pairs(
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
 
 

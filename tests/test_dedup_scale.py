@@ -1,0 +1,117 @@
+"""Scale-shape regression tests for the dedup operators (VERDICT r02 #1/#5):
+
+1. the candidate-driven Jaccard verify must never execute the unbounded
+   shingle self-join — its join work is asserted ≪ df² on a fixture where
+   ~10³ docs share one boilerplate shingle;
+2. the SimHash Hamming join must band over DISTINCT fingerprints, so a
+   degenerate hot group (50 empty-ish docs, identical fingerprint) is ONE
+   join row per band, not a quadratic bucket.
+"""
+
+from __future__ import annotations
+
+from clip_as_service_spark.operators import dedup
+
+
+def _py_shingles(text: str, k: int = 3) -> set[str]:
+    toks = text.split(" ")
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_candidate_driven_jaccard_is_bounded(spark):
+    """~10³ docs all share the 'boiler plate text' shingle. The unbounded
+    self-join would produce n·(n−1)/2 ≈ 5·10⁵ rows for that shingle alone;
+    the candidate-driven verify must touch only the candidate docs'
+    shingles. Σ inter == the exact number of rows the verify join produced,
+    so asserting it small IS asserting the compute bound."""
+    n = 1000
+    rows = [(i, f"boiler plate text unique{i} word{i} tail{i}") for i in range(n)]
+    texts = dict(rows)
+    df = spark.createDataFrame(rows, "id long, text string")
+    cand_pairs = [(1, 2), (10, 11), (500, 501)]
+    cand = spark.createDataFrame(cand_pairs, "id_a long, id_b long")
+
+    sh = dedup.shingles(df, "id", "text", k=3)
+    inter_rows = dedup.candidate_intersections(sh, cand).collect()
+    total_join_rows = sum(r["inter"] for r in inter_rows)
+    max_possible = sum(len(_py_shingles(texts[a])) for a, _ in cand_pairs)
+    assert total_join_rows <= max_possible  # ≤ Σ|shingles(cand docs)| = 12
+    assert total_join_rows < n * (n - 1) / 100  # ≪ df² ≈ 5·10⁵
+
+    got = {(r["id_a"], r["id_b"]): r["inter"] for r in inter_rows}
+    exp = {
+        (a, b): len(_py_shingles(texts[a]) & _py_shingles(texts[b]))
+        for a, b in cand_pairs
+    }
+    assert got == {k: v for k, v in exp.items() if v > 0}
+
+    out = dedup.ngram_jaccard_pairs(
+        df, "id", "text", k=3, threshold=0.01, candidates=cand
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == set(cand_pairs)
+    for r in out:
+        sa, sb = _py_shingles(texts[r["id_a"]]), _py_shingles(texts[r["id_b"]])
+        assert r["jaccard"] == round(len(sa & sb) / len(sa | sb), 6)
+
+
+def test_candidate_jaccard_equals_unbounded_filtered(spark):
+    """Candidate-driven verify ≡ unbounded verify semi-joined to candidates
+    (the pre-fix semantics) on a mixed near-dup fixture."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+        (3, "totally different content about spark engines and parquet"),
+        (4, "totally different content about spark engines and arrow"),
+        (5, "short"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    cand = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (3, 4), (0, 3), (5, 6)],
+        "id_a long, id_b long",
+    )
+    bounded = dedup.ngram_jaccard_pairs(
+        df, "id", "text", k=3, threshold=0.1, candidates=cand
+    ).collect()
+    unbounded = dedup.ngram_jaccard_pairs(
+        df, "id", "text", k=3, threshold=0.1
+    ).collect()
+    cand_set = {(0, 1), (0, 2), (1, 2), (3, 4), (0, 3), (5, 6)}
+    exp = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in unbounded
+        if (r["id_a"], r["id_b"]) in cand_set
+    }
+    assert {(r["id_a"], r["id_b"], r["jaccard"]) for r in bounded} == exp
+
+
+def test_simhash_distinct_fp_banding_degenerate(spark):
+    """50 empty-ish docs share one all-identical fingerprint: the banded
+    join must see ONE fingerprint-pair row for the group (compute bound);
+    the 50·49/2 Hamming-0 doc pairs are expansion OUTPUT and must all be
+    emitted (semantics unchanged)."""
+    rows = [(i, "") for i in range(50)] + [
+        (100, "the quick brown fox jumps over the lazy dog"),
+        (101, "the quick brown fox jumps over the lazy cat"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    fp = dedup.simhash_fingerprints(df, "id", "text", n_bits=60)
+    assert fp.select("simhash").distinct().count() <= 3
+
+    fpp = dedup.fp_candidate_pairs(fp, n_bits=60, n_bands=4, max_hamming=3)
+    fpp_rows = fpp.collect()
+    # the hot group contributes exactly one (s, s, 0) row — never 50²/2
+    assert len(fpp_rows) <= 3
+    assert sum(1 for r in fpp_rows if r["sh_a"] == r["sh_b"]) >= 1
+
+    pairs = dedup.simhash_candidate_pairs(
+        df, "id", "text", n_bits=60, n_bands=4
+    ).collect()
+    zero = {(r["id_a"], r["id_b"]) for r in pairs if r["hamming"] == 0}
+    expected_zero = {(a, b) for a in range(50) for b in range(a + 1, 50)}
+    assert expected_zero <= zero
+    # normalized ordering + dedup: every pair once, id_a < id_b
+    seen = [(r["id_a"], r["id_b"]) for r in pairs]
+    assert len(seen) == len(set(seen))
+    assert all(a < b for a, b in seen)
