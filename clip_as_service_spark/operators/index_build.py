@@ -79,8 +79,14 @@ def build_index(
     target_sublist: int = 50_000,
     doc_id_method: str = "dense",
     text_col: str = "text",
+    term_mode: str = "word",
+    bpe_path: str | None = None,
 ) -> IndexStorage:
-    """Run all build stages, skipping any whose checkpoint already exists."""
+    """Run all build stages, skipping any whose checkpoint already exists.
+
+    term_mode='bpe' indexes BPE ids (string terms) instead of word tokens;
+    the mode and merges path persist in _meta.json so every query path
+    tokenizes with the vocabulary the index was built with."""
     store = IndexStorage(out_dir)
     if not store.has_meta():
         store.write_meta(
@@ -92,6 +98,8 @@ def build_index(
                 "salt_cutoff": salt_cutoff,
                 "target_sublist": target_sublist,
                 "doc_id_method": doc_id_method,
+                "term_mode": term_mode,
+                "bpe_path": bpe_path,
                 "version": 2,  # block format v2: vByte tf+dl payloads, w recomputed
             }
         )
@@ -115,9 +123,23 @@ def build_index(
             and pruned.rdd.getNumPartitions() < target_par
         ):
             pruned = pruned.repartition(target_par)
-        with_ids = tok.assign_doc_ids(pruned, method=meta["doc_id_method"])
-        postings = tok.build_postings(with_ids, text_col=text_col)
+        id_counts: dict = {}
+        with_ids = tok.assign_doc_ids(
+            pruned, method=meta["doc_id_method"], counts_out=id_counts
+        )
+        postings = tok.build_postings(
+            with_ids,
+            text_col=text_col,
+            term_mode=meta.get("term_mode", "word"),
+            bpe_path=meta.get("bpe_path"),
+        )
         store.write(postings, "postings")  # narrow plan: scan→UDF→explode→write
+        if "n_pages" in id_counts:
+            # the count pass's true page total — stage 2 compares it to the
+            # id pass's outcome (max/distinct alone can miss a duplicate id
+            # under compensating partition drift between the two scans)
+            meta["n_pages_input"] = int(id_counts["n_pages"])
+            store.write_meta(meta)
         _log(spark, store, "postings", t0)
 
     postings = store.read(spark, "postings")
@@ -148,12 +170,16 @@ def build_index(
         # plan between _dense_ids' count pass and id pass (the double-scan
         # hazard) before any downstream stage trusts the ids
         max_id = int(stats_row["max_doc_id"] or 0)
-        if max_id != n_docs:
+        n_pages = meta.get("n_pages_input")
+        if max_id != n_docs or (n_pages is not None and n_docs != n_pages):
             raise AssertionError(
-                f"dense doc_id invariant violated: max(doc_id)={max_id} != "
-                f"n_docs={n_docs}; source plan is not deterministic across "
-                "the id-assignment double scan (persist the input or use "
-                "doc_id_method='hash')"
+                f"dense doc_id invariant violated: max(doc_id)={max_id}, "
+                f"distinct ids={n_docs}, count-pass pages={n_pages}; all "
+                "three must agree (a duplicate id under compensating "
+                "partition drift shrinks max AND distinct together, so the "
+                "count-pass total is the anchor). Source plan is not "
+                "deterministic across the id-assignment double scan — "
+                "persist the input or use doc_id_method='hash'."
             )
     if "n_docs" not in meta:
         # denormalize corpus stats into _meta.json: the query driver then

@@ -249,6 +249,71 @@ def bucketed_topk(
     )
 
 
+def rh_cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_bits: int = 6,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    sign_round_dp: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """embedding near-dup pairs (id_a < id_b, cosine ≥ threshold) with
+    RANDOM-HYPERPLANE LSH candidates — the scale path for `cosine_pairs`.
+
+    L independent tables of n_bits each (same shared plane matrix slicing as
+    rh_bucketed_topk, so table 0 reproduces the single-table layout): two
+    vectors are candidates iff they share a bucket in ≥1 table; candidates
+    dedupe on (id_a, id_b) before the exact-cosine verify. Random planes keep
+    the 2^n_bits buckets near-uniform on anisotropic embeddings — the
+    axis-aligned variant (cosine_pairs) collapses to hot buckets with
+    ~quadratic within-bucket pair counts when early dims are correlated (its
+    measured pair coverage is reported next to this one in BENCH). Pair
+    recall per true pair at cosine c: 1 − (1 − p^n_bits)^L, p = 1 − θ/π."""
+    planes_bits = n_bits * n_tables
+    tables_d = [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            _table_bucket(
+                F.col(vec_col), dim, n_bits, t, planes_bits, seed, sign_round_dp
+            ).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ]
+    d = embeddings.select(
+        id_col, vec_col, F.explode(F.array(*tables_d)).alias("tb")
+    ).select(
+        id_col, vec_col,
+        F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("_va"),
+            F.col(f"b.{vec_col}").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a", "id_b",
+            cosine_col(F.col("_va"), F.col("_vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
@@ -258,7 +323,9 @@ def cosine_pairs(
 ) -> DataFrame:
     """embedding near-dup pairs (id_a < id_b, cosine ≥ threshold), candidates
     bounded to same-LSH-bucket pairs (at 10^12 rows the full cross join does
-    not exist; neighboring-bucket probing widens recall if needed)."""
+    not exist). AXIS-ALIGNED buckets — kept as the SQL-oracle variant;
+    production near-dup at scale should use rh_cosine_pairs (isotropic
+    buckets, measured ~10× higher pair coverage on this fixture)."""
     d = embeddings.withColumn("bucket", bucket_col(F.col(vec_col), n_bits))
     a = d.alias("a")
     b = d.alias("b")

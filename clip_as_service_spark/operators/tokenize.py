@@ -24,7 +24,9 @@ from pyspark.sql import functions as F
 from ..functions.text import tokenize_udf
 
 
-def assign_doc_ids(pages: DataFrame, method: str = "dense") -> DataFrame:
+def assign_doc_ids(
+    pages: DataFrame, method: str = "dense", counts_out: dict | None = None
+) -> DataFrame:
     """Add an int64 ``doc_id`` keyed on url (SURVEY.md §7 locked decision).
 
     - ``dense`` (default): dense 1..N ids in INPUT order, fully narrow —
@@ -52,7 +54,7 @@ def assign_doc_ids(pages: DataFrame, method: str = "dense") -> DataFrame:
         w = Window.orderBy(F.col("url"))
         return pages.withColumn("doc_id", F.row_number().over(w).cast("long"))
     if method == "dense":
-        return _dense_ids(pages, persist=False)
+        return _dense_ids(pages, persist=False, counts_out=counts_out)
     if method == "dense_sorted":
         spark = pages.sparkSession
         n_part = max(spark.sparkContext.defaultParallelism * 2, 2)
@@ -60,15 +62,21 @@ def assign_doc_ids(pages: DataFrame, method: str = "dense") -> DataFrame:
         # persist: the count pass and the id pass must see the same
         # (sampled) range partitioning — one materialization (at 100 TB a
         # durable intermediate table instead of a cache)
-        return _dense_ids(ranged, persist=True)
+        return _dense_ids(ranged, persist=True, counts_out=counts_out)
     raise ValueError(f"unknown doc_id method {method!r}")
 
 
-def _dense_ids(src: DataFrame, persist: bool) -> DataFrame:
+def _dense_ids(
+    src: DataFrame, persist: bool, counts_out: dict | None = None
+) -> DataFrame:
     """doc_id = offset[partition] + in-partition row index + 1.
 
     monotonically_increasing_id = pid·2^33 + physical row index, so the low
-    33 bits are the in-partition rank with no shuffle."""
+    33 bits are the in-partition rank with no shuffle. counts_out (if given)
+    receives {'n_pages': Σ counts} — the TRUE page total as seen by the
+    count pass, which downstream invariants compare against the id pass
+    (compensating partition drift between the two scans can otherwise
+    produce a duplicate id that max/distinct checks alone cannot see)."""
     spark = src.sparkSession
     with_pid = src.select(
         "*",
@@ -86,6 +94,8 @@ def _dense_ids(src: DataFrame, persist: bool) -> DataFrame:
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    if counts_out is not None:
+        counts_out["n_pages"] = acc
     offsets_df = spark.createDataFrame(
         [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
     )
@@ -104,8 +114,18 @@ def tokenize_pages(pages_with_ids: DataFrame, text_col: str = "text") -> DataFra
     )
 
 
-def build_postings(pages_with_ids: DataFrame, text_col: str = "text") -> DataFrame:
+def build_postings(
+    pages_with_ids: DataFrame,
+    text_col: str = "text",
+    term_mode: str = "word",
+    bpe_path: str | None = None,
+) -> DataFrame:
     """→ postings rows (term, doc_id, tf, dl) — SHUFFLE-FREE.
+
+    term_mode selects the index vocabulary: 'word' (default; F1-F3 word
+    tokens, SURVEY.md §7 locked decision) or 'bpe' (BPE ids as string terms
+    via the vendored merge table — the flagged alternative, reference
+    simple_tokenizer.py:135-143).
 
     tf and dl are per-document quantities, counted inside the tokenize UDF
     (tokenize_tf_udf), so the plan is scan → ArrowEvalPython → explode: no
@@ -121,10 +141,11 @@ def build_postings(pages_with_ids: DataFrame, text_col: str = "text") -> DataFra
     consumers (term_df, the block build, query joins) filter/inner-join the
     NULL term away.
     """
-    from ..functions.text import tokenize_tf_udf
+    from ..functions.text import make_tokenize_tf_udf
 
+    tf_udf = make_tokenize_tf_udf(term_mode, bpe_path)
     toks = pages_with_ids.select(
-        "doc_id", tokenize_tf_udf(F.col(text_col)).alias("t")
+        "doc_id", tf_udf(F.col(text_col)).alias("t")
     )
     return toks.select(
         "doc_id",

@@ -374,11 +374,20 @@ class IndexReader:
             float(self.meta["avgdl"]), float(self.meta["k1"]), float(self.meta["b"])
         )
         self.query_log: list[dict] = []
+        # both caches are BYTE-budgeted, not entry-counted: Zipf-head terms
+        # are exactly the entries that repeat AND are the largest (millions
+        # of postings each), so an entry cap alone lets a long-lived reader
+        # grow to many GB. Eviction is FIFO (dict order) — an LRU buys
+        # little when the hot set is the Zipf head.
         self._term_rows_cache: dict[str, list] = {}
+        self._raw_sizes: dict[str, int] = {}
+        self._raw_bytes = 0
         # decoded-term memo: head terms repeat across interactive queries, and
         # decode (vByte + impact_weights) dominates warm latency — cache the
         # decoded (docs, idf·w) per term (~16 B/posting; reset via clear())
         self._decoded_cache: dict[str, tuple] = {}
+        self._decoded_sizes: dict[str, int] = {}
+        self._decoded_bytes = 0
         if engine == "pyarrow":
             import pyarrow.dataset as pads
 
@@ -389,6 +398,14 @@ class IndexReader:
         else:
             self._ds = None
             self.blocks = self.store.read(spark, "blocks")
+
+    # cache byte budgets (defaults sized for a long-lived service reader;
+    # per-entry accounting uses the payload buffers, the dominant cost —
+    # a Zipf-head term at 10^8 df is ~300 MB raw / ~1.6 GB decoded, so the
+    # budget, not an entry count, is what actually bounds residency)
+    RAW_CACHE_MAX_BYTES = 128 << 20
+    DECODED_CACHE_MAX_BYTES = 256 << 20
+    QUERY_LOG_MAX = 10_000
 
     def _fetch_rows(self, terms: list[str]) -> list:
         missing = [t for t in terms if t not in self._term_rows_cache]
@@ -411,27 +428,61 @@ class IndexReader:
                 self._term_rows_cache[t] = []
             for row in fetched:
                 self._term_rows_cache[row.term].append(row)
+            for t in missing:
+                nbytes = sum(
+                    len(r.docs) + len(r.tfs) + len(r.dls) + 64
+                    for r in self._term_rows_cache[t]
+                )
+                self._raw_sizes[t] = nbytes
+                self._raw_bytes += nbytes
+            # evict FIFO down to budget — but never a term of the CURRENT
+            # query (its rows are read by _decoded_term right after this)
+            protect = set(terms)
+            for key in list(self._term_rows_cache):
+                if self._raw_bytes <= self.RAW_CACHE_MAX_BYTES:
+                    break
+                if key in protect:
+                    continue
+                del self._term_rows_cache[key]
+                self._raw_bytes -= self._raw_sizes.pop(key)
         out = []
         for t in terms:
             out.extend(self._term_rows_cache.get(t, []))
         return out
 
-    # decoded-cache bound: ~16 B/posting; 4096 terms of a Zipfian vocabulary
-    # cover the head that actually repeats, and eviction is FIFO (dict order)
-    # — an LRU buys little when the hot set is the Zipf head
-    DECODED_CACHE_MAX_TERMS = 4096
-
     def _decoded_term(self, t: str) -> tuple:
-        """(term, docs, idf·w) — full decode of one term's blocks, memoized."""
+        """(term, docs, idf·w) — full decode of one term's blocks, memoized.
+
+        Eviction needs no protect-set: callers hold references to the
+        returned tuples, so evicting an entry mid-query only drops the memo,
+        never the data in flight."""
         hit = self._decoded_cache.get(t)
         if hit is None:
             blks = self._term_rows_cache[t]
             docs, w = _decode_block_group(blks, self._bm25)
             hit = (t, docs, float(blks[0].idf) * w)
-            if len(self._decoded_cache) >= self.DECODED_CACHE_MAX_TERMS:
-                self._decoded_cache.pop(next(iter(self._decoded_cache)))
+            nbytes = int(docs.nbytes + hit[2].nbytes) + 64
+            while (
+                self._decoded_bytes + nbytes > self.DECODED_CACHE_MAX_BYTES
+                and self._decoded_cache
+            ):
+                old = next(iter(self._decoded_cache))
+                del self._decoded_cache[old]
+                self._decoded_bytes -= self._decoded_sizes.pop(old)
             self._decoded_cache[t] = hit
+            self._decoded_sizes[t] = nbytes
+            self._decoded_bytes += nbytes
         return hit
+
+    def _tokenize_query(self, text: str) -> list[str]:
+        """Query terms in the INDEX's vocabulary: word tokens by default,
+        BPE-id strings when the index was built with term_mode='bpe' (the
+        mode rides in _meta.json, so reader and build can never disagree)."""
+        if self.meta.get("term_mode") == "bpe":
+            from ..textnorm import get_bpe, tokenize_bpe_terms
+
+            return tokenize_bpe_terms(text, get_bpe(self.meta.get("bpe_path")))
+        return tokenize_words(text)
 
     def search(self, text: str, k: int = 10) -> list[tuple[int, int, float]]:
         """→ [(rank, doc_id, score)] — exact BM25 top-k for one query.
@@ -441,7 +492,7 @@ class IndexReader:
         (reference client.py:68-120 reports roundtrip/gateway/model timing
         per call the same way); ``profile_summary()`` aggregates."""
         t0 = time.perf_counter()
-        terms = sorted(set(tokenize_words(text)))
+        terms = sorted(set(self._tokenize_query(text)))
         t_tok = time.perf_counter()
         entry = {
             "n_terms": len(terms), "strategy": None,
@@ -450,7 +501,7 @@ class IndexReader:
             "fetch_ms": 0.0, "score_ms": 0.0, "total_ms": 0.0,
         }
         if not terms:
-            self.query_log.append(entry)
+            self._log_query(entry)
             return []
         rows = self._fetch_rows(terms)
         t_fetch = time.perf_counter()
@@ -459,7 +510,7 @@ class IndexReader:
         entry["n_postings"] = sum(r.n for r in rows)
         if not rows:
             entry["total_ms"] = 1000 * (time.perf_counter() - t0)
-            self.query_log.append(entry)
+            self._log_query(entry)
             return []
         strategy = self.strategy
         if strategy == "auto":
@@ -490,8 +541,15 @@ class IndexReader:
         t_score = time.perf_counter()
         entry["score_ms"] = 1000 * (t_score - t_fetch)
         entry["total_ms"] = 1000 * (t_score - t0)
-        self.query_log.append(entry)
+        self._log_query(entry)
         return out
+
+    def _log_query(self, entry: dict) -> None:
+        """Append to query_log, rotating at QUERY_LOG_MAX (oldest dropped) —
+        a long-lived service reader must not grow the log without bound."""
+        self.query_log.append(entry)
+        if len(self.query_log) > self.QUERY_LOG_MAX:
+            del self.query_log[: len(self.query_log) - self.QUERY_LOG_MAX]
 
     def profile_summary(self) -> dict:
         """p50/p95 per phase over this reader's query_log (profile verb)."""
@@ -551,6 +609,7 @@ def search_topk(
     k: int = 10,
     mode: str = "auto",
     heavy_postings: int = 20_000_000,
+    routing: dict[int, str] | None = None,
 ) -> DataFrame:
     """→ (query_id, rank, doc_id, score); queries(query_id, text).
 
@@ -560,14 +619,23 @@ def search_topk(
     pays); heavier queries — a Zipf-head single-term query would serialize
     its whole posting list into one WAND task — run the fully distributed
     exploded plan instead. Mirrors the IndexReader driver-side auto strategy
-    (taat_max_postings) with the same crossover logic."""
+    (taat_max_postings) with the same crossover logic.
+
+    NOTE mode="auto" is not fully lazy: the volume estimate runs ONE eager
+    Spark job (a metadata-only aggregate) before the returned DataFrame is
+    built (the query-terms collect is eager in every mode — it's the Q·|q|
+    row query table). Callers that already computed ``query_routing`` (bench,
+    ops dashboards) pass it via ``routing`` to skip that job — the candidate
+    block set is then scanned once, not twice."""
     store = IndexStorage(index_dir)
     meta = store.read_meta()
     bm25 = (float(meta["avgdl"]), float(meta["k1"]), float(meta["b"]))
     # query-terms table is tiny (Q·|q| rows): collect ONCE and rebuild as a
     # local DataFrame — no .cache() to leak, and the term list for shard
     # pruning falls out of the same pass
-    qt_rows = query_terms(queries).collect()
+    qt_rows = query_terms(
+        queries, meta.get("term_mode", "word"), meta.get("bpe_path")
+    ).collect()
     terms = sorted({r["term"] for r in qt_rows})
     cand = _candidate_blocks(spark, store, terms, meta["n_shards"])
     if cand is None or not qt_rows:
@@ -582,10 +650,15 @@ def search_topk(
     if mode == "exploded":
         return _search_exploded(joined, k, bm25)
     if mode == "auto":
-        # volume estimate: one tiny agg over (query_id, n) — parquet column
-        # pruning keeps the binary docs/ws columns unread
-        vols = _query_volumes(joined)
-        heavy = sorted(q for q, v in vols.items() if v > heavy_postings)
+        if routing is None:
+            # volume estimate: one tiny agg over (query_id, n) — parquet
+            # column pruning keeps the binary docs/ws columns unread
+            vols = _query_volumes(joined)
+            routing = {
+                q: ("exploded" if v > heavy_postings else "wand")
+                for q, v in vols.items()
+            }
+        heavy = sorted(q for q, m in routing.items() if m == "exploded")
         parts = []
         if heavy:
             parts.append(
@@ -593,7 +666,7 @@ def search_topk(
                     joined.filter(F.col("query_id").isin(heavy)), k, bm25
                 )
             )
-        light = sorted(q for q in vols if q not in set(heavy))
+        light = sorted(q for q, m in routing.items() if m == "wand")
         if light:
             parts.append(
                 joined.filter(F.col("query_id").isin(light))
@@ -626,7 +699,9 @@ def query_routing(
     (candidate posting volume vs threshold); exposed for bench/ops reporting."""
     store = IndexStorage(index_dir)
     meta = store.read_meta()
-    qt_rows = query_terms(queries).collect()
+    qt_rows = query_terms(
+        queries, meta.get("term_mode", "word"), meta.get("bpe_path")
+    ).collect()
     terms = sorted({r["term"] for r in qt_rows})
     cand = _candidate_blocks(spark, store, terms, meta["n_shards"])
     if cand is None or not qt_rows:

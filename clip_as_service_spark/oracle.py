@@ -24,16 +24,25 @@ from .textnorm import extract_text_from_html, tokenize_words
 
 
 class BM25Oracle:
-    def __init__(self, docs: list[tuple[int, str]], k1: float = K1, b: float = B):
-        """docs: (doc_id, text) pairs; text is raw (normalization applied here)."""
+    def __init__(
+        self,
+        docs: list[tuple[int, str]],
+        k1: float = K1,
+        b: float = B,
+        tokenizer=None,
+    ):
+        """docs: (doc_id, text) pairs; text is raw (normalization applied here).
+        tokenizer: text → list[str]; defaults to the word-term pipeline —
+        pass a BPE-term callable to judge a term_mode='bpe' index."""
         self.k1 = k1
         self.b = b
+        self._tokenize = tokenizer or tokenize_words
         self.doc_ids: list[int] = []
         self.doc_len: dict[int, int] = {}
         # postings: term -> {doc_id: tf}
         self.postings: dict[str, dict[int, int]] = {}
         for doc_id, text in docs:
-            terms = tokenize_words(text)
+            terms = self._tokenize(text)
             self.doc_ids.append(doc_id)
             self.doc_len[doc_id] = len(terms)
             for term, tf in Counter(terms).items():
@@ -44,7 +53,9 @@ class BM25Oracle:
         )
 
     @classmethod
-    def from_pages(cls, pages: list[dict], use_html: bool = False) -> "BM25Oracle":
+    def from_pages(
+        cls, pages: list[dict], use_html: bool = False, tokenizer=None
+    ) -> "BM25Oracle":
         """doc_id = row_number over url ascending (deterministic, matches the
         Spark build's id assignment)."""
         ordered = sorted(pages, key=lambda r: r["url"])
@@ -54,7 +65,7 @@ class BM25Oracle:
                 extract_text_from_html(row["html"]) if use_html else row["text"]
             )
             docs.append((i, text))
-        return cls(docs)
+        return cls(docs, tokenizer=tokenizer)
 
     def idf(self, term: str) -> float:
         df = len(self.postings.get(term, {}))
@@ -66,7 +77,7 @@ class BM25Oracle:
         Duplicate query terms contribute once per unique term (standard BM25
         over the query's term set — matches the Spark path which joins on
         DISTINCT query terms)."""
-        terms = sorted(set(tokenize_words(query_text)))
+        terms = sorted(set(self._tokenize(query_text)))
         scores: dict[int, float] = {}
         for term in terms:  # ascending-term order fixes float association
             plist = self.postings.get(term)

@@ -829,6 +829,43 @@ WHERE doc_id NOT IN (SELECT id_b FROM pipe)
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup clusters: connected components over the verified
+    near-dup pairs (min-label propagation) — cluster_id = min reachable doc
+    id, singletons cluster to themselves. The cluster id IS the survivor
+    (vs q_dedup_survivors' greedy pairwise policy, which can drop a doc
+    whose only link is to an already-dropped doc)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _dd.near_dup_pipeline(
+        docs, "doc_id", "text",
+        k=SHINGLE_K, n_hashes=N_HASHES, n_bands=N_BANDS,
+        threshold=DEDUP_PIPE_THRESHOLD,
+    )
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    cc = _dd.connected_components(pairs.select("id_a", "id_b"), nodes=nodes)
+    return cc.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pipe AS ({SQL_DEDUP_PIPELINE}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pipe
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pipe),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+minreach AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(least(d.doc_id, coalesce(m.mn, d.doc_id)) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN minreach m ON d.doc_id = m.src
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return _dd.simhash_fingerprints(docs, "doc_id", "text", n_bits=SIMHASH_BITS).select(
@@ -1133,6 +1170,71 @@ WHERE dot / (na.nrm * nb.nrm) >= 0.3
 """
 
 
+RH_PAIR_BITS = 6
+RH_PAIR_TABLES = 8
+RH_PAIR_THRESHOLD = 0.3
+
+
+def q_embedding_rh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with RANDOM-HYPERPLANE LSH candidates — the
+    scale path (isotropic buckets; the axis-aligned q_embedding_cosine_pairs
+    stays as the simpler oracle variant). 6 bits × 8 tables reproduces the
+    bench's best-recall ANN configuration."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return _sim.rh_cosine_pairs(
+        emb,
+        threshold=RH_PAIR_THRESHOLD,
+        n_bits=RH_PAIR_BITS,
+        n_tables=RH_PAIR_TABLES,
+        dim=RH_DIM,
+        seed=RH_SEED,
+        sign_round_dp=_RH_SIGN_DP,
+    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def _sql_embedding_rh_pairs() -> str:
+    from ..operators.similarity import rh_planes
+
+    planes = rh_planes(RH_DIM, RH_PAIR_BITS * RH_PAIR_TABLES, RH_SEED)
+    plane_rows = ", ".join(
+        f"({t}, {j}, {i + 1}, {float(planes[t * RH_PAIR_BITS + j, i])!r})"
+        for t in range(RH_PAIR_TABLES)
+        for j in range(RH_PAIR_BITS)
+        for i in range(RH_DIM)
+    )
+    return f"""
+WITH planes(t, j, i, w) AS (VALUES {plane_rows}),
+comp AS ({_SQL_EMB_COMPONENTS}),
+pdots AS (
+  SELECT c.vec_id, p.t, p.j, sum(c.v * p.w) AS dot
+  FROM comp c JOIN planes p ON c.i = p.i
+  GROUP BY c.vec_id, p.t, p.j),
+bkt AS (
+  SELECT vec_id, t,
+         CAST(sum(CASE WHEN round(dot, {_RH_SIGN_DP}) >= 0
+                       THEN (1::BIGINT << j) ELSE 0 END) AS INT) AS bucket
+  FROM pdots GROUP BY vec_id, t),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bkt a JOIN bkt b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM comp GROUP BY vec_id),
+dots AS (
+  SELECT c.id_a, c.id_b, sum(x.v * y.v) AS dot
+  FROM cand c
+  JOIN comp x ON x.vec_id = c.id_a
+  JOIN comp y ON y.vec_id = c.id_b AND x.i = y.i
+  GROUP BY c.id_a, c.id_b)
+SELECT id_a, id_b, round(dot / (na.nrm * nb.nrm), 4) AS cosine
+FROM dots JOIN norms na ON dots.id_a = na.vec_id
+          JOIN norms nb ON dots.id_b = nb.vec_id
+WHERE dot / (na.nrm * nb.nrm) >= {RH_PAIR_THRESHOLD}
+"""
+
+
+SQL_EMBEDDING_RH_PAIRS = _sql_embedding_rh_pairs()
+
+
 # ---------------------------------------------------------------------------
 # Text analysis family
 # ---------------------------------------------------------------------------
@@ -1277,12 +1379,14 @@ REGISTRY: dict[str, tuple] = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_pipeline": (q_dedup_pipeline, SQL_DEDUP_PIPELINE),
     "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_bucketed_topk": (q_ann_bucketed_topk, SQL_ANN_BUCKETED_TOPK),
     "ann_rh_topk": (q_ann_rh_topk, SQL_ANN_RH_TOPK),
     "embedding_cosine_pairs": (q_embedding_cosine_pairs, SQL_EMBEDDING_COSINE_PAIRS),
+    "embedding_rh_pairs": (q_embedding_rh_pairs, SQL_EMBEDDING_RH_PAIRS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "token_count_hist": (q_token_count_hist, SQL_TOKEN_COUNT_HIST),

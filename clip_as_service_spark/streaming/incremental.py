@@ -97,33 +97,54 @@ _SESSION_STATE_SCHEMA = (
 )
 
 
-def sessionize_stream(events_stream: DataFrame, gap_sec: int = 1800) -> DataFrame:
+def sessionize_stream(
+    events_stream: DataFrame,
+    gap_sec: int = 1800,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
     """CUSTOM STATEFUL operator via applyInPandasWithState: per-user
     inactivity-gap sessionization over an event stream — the streaming form
     of the batch `events_sessionize` query (lag+cumsum windows).
 
     State per user = the OPEN session (id, last event second, aggregates);
     a batch CLOSES a session when an event arrives > gap_sec after it, and
-    closed sessions are emitted append-mode. The open tail session stays in
-    state across micro-batches (and is never emitted until closed — stream
-    semantics; the batch query emits it because a batch has an end).
+    closed sessions are emitted append-mode. The open tail additionally
+    closes by EVENT-TIME TIMEOUT: when the stream's watermark passes
+    last_ts + gap_sec the carried session is emitted and its state removed —
+    a user who stops sending events neither holds state forever nor
+    swallows their final session (r02 used NoTimeout and did both).
+
+    Out-of-order input, explicitly: events later than ``watermark_delay``
+    are dropped by Spark at the watermark boundary (the declared lateness
+    contract); an event that passes the watermark but regresses behind its
+    user's state (cross-batch disorder) FAILS FAST with a contract error
+    rather than silently mis-sessionizing — an already-emitted session can
+    never be amended under append semantics, so the only honest outcomes
+    are batch-equivalent output or a loud error.
 
     Gap arithmetic uses whole epoch seconds (unix_timestamp semantics) so
     stream and batch agree bit-for-bit on boundaries. In-batch work is
     vectorized (numpy diff + pandas groupby); only the state splice is
-    scalar. Requires per-user event-time-ordered arrival across batches —
-    the ingest contract of a log-structured event source (file order here;
-    kafka partition-by-user in production)."""
+    scalar."""
     import numpy as np
     import pandas as pd
 
+    cols = ["user_id", "session_id", "n_events", "value_sum"]
+
     def _fn(key, pdfs, state):
         user_id = int(key[0])
+        if state.hasTimedOut:
+            # watermark passed last_ts + gap: the open session is closed by
+            # time itself — emit it and clear state
+            sid0, _last_ts, n0, v0 = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, int(sid0), int(n0), float(v0))], columns=cols
+            )
+            return
         rows = pd.concat(list(pdfs))
         if rows.empty:
-            yield pd.DataFrame(
-                columns=["user_id", "session_id", "n_events", "value_sum"]
-            )
+            yield pd.DataFrame(columns=cols)
             return
         rows = rows.sort_values(["ts", "event_id"])
         ts = rows["ts"].values.astype("datetime64[s]").astype(np.int64)
@@ -132,6 +153,16 @@ def sessionize_stream(events_stream: DataFrame, gap_sec: int = 1800) -> DataFram
             sid0, last_ts, n0, v0 = state.get
         else:
             sid0, last_ts, n0, v0 = 0, None, 0, 0.0
+        if last_ts is not None and int(ts[0]) < int(last_ts):
+            raise ValueError(
+                "sessionize_stream ordered-ingest contract violated for "
+                f"user {user_id}: event time {int(ts[0])} regresses behind "
+                f"the open session's last event {int(last_ts)} across "
+                "micro-batches. Sessions already emitted cannot be amended "
+                "(append mode); feed each user's events in event-time order "
+                "(e.g. kafka partition-by-user), or widen watermark_delay "
+                "so Spark drops such events as late."
+            )
         prev = np.empty_like(ts)
         prev[0] = last_ts if last_ts is not None else np.iinfo(np.int64).min
         prev[1:] = ts[:-1]
@@ -156,22 +187,32 @@ def sessionize_stream(events_stream: DataFrame, gap_sec: int = 1800) -> DataFram
             if int(s) != last_sid:
                 out.append((user_id, int(s), int(row["n"]), float(row["vsum"])))
         open_row = agg.loc[last_sid]
-        state.update(
-            (last_sid, int(ts[-1]), int(open_row["n"]), float(open_row["vsum"]))
+        open_state = (
+            last_sid, int(ts[-1]), int(open_row["n"]), float(open_row["vsum"])
         )
-        yield pd.DataFrame(
-            out, columns=["user_id", "session_id", "n_events", "value_sum"]
-        )
+        timeout_ms = (int(ts[-1]) + gap_sec) * 1000 + 1
+        if state.getCurrentWatermarkMs() >= timeout_ms:
+            # another key already pushed the watermark past this session's
+            # close: it is closed on arrival — emit, keep no state
+            if state.exists:
+                state.remove()
+            out.append((user_id, open_state[0], open_state[2], open_state[3]))
+        else:
+            state.update(open_state)
+            state.setTimeoutTimestamp(timeout_ms)
+        yield pd.DataFrame(out, columns=cols)
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    events_stream = events_stream.withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).withWatermark("ts", watermark_delay)
     return events_stream.groupBy("user_id").applyInPandasWithState(
         _fn,
         SESSION_OUT_SCHEMA,
         _SESSION_STATE_SCHEMA,
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.EventTimeTimeout,
     )
 
 

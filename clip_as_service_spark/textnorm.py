@@ -181,3 +181,35 @@ class BpeTokenizer:
         text = "".join(self._decoder[i] for i in ids)
         data = bytearray(self._byte_decoder[c] for c in text)
         return data.decode("utf-8", errors="replace").replace("</w>", " ")
+
+
+def mini_bpe_path() -> str:
+    """Path of the vendored mini merge table (shipped with the package so
+    the BPE index mode runs in the bare container; swap in the reference's
+    full 16e6 artifact for production vocabularies)."""
+    import os
+
+    return os.path.join(
+        os.path.dirname(__file__), "resources", "bpe_mini_merges.txt.gz"
+    )
+
+
+_BPE_CACHE: dict[str, BpeTokenizer] = {}
+
+
+def get_bpe(path: str | None = None) -> BpeTokenizer:
+    """Process-level tokenizer memo: each Python worker constructs the merge
+    table once, not once per Arrow batch."""
+    p = path or mini_bpe_path()
+    bpe = _BPE_CACHE.get(p)
+    if bpe is None:
+        bpe = _BPE_CACHE[p] = BpeTokenizer(p)
+    return bpe
+
+
+def tokenize_bpe_terms(text: str, bpe: BpeTokenizer) -> list[str]:
+    """BPE-id index terms, as STRINGS — the posting/dictionary machinery is
+    term-type agnostic, so the flagged BPE path (SURVEY.md §7; reference
+    simple_tokenizer.py:135-143 feeding tokenization.py:80-104) reuses the
+    entire word-term build unchanged."""
+    return [str(i) for i in bpe.encode(text)]

@@ -75,6 +75,61 @@ def test_mini_decode_unknown_bytes(mini_bpe):
     assert mini_bpe.decode(ids).split()[-1] == "text"
 
 
+# --- BPE as the INDEX vocabulary (term_mode='bpe', SURVEY §7 flagged path) --
+
+
+def test_bpe_index_build_and_search_rank_identical(spark, tmp_path):
+    """build_index(term_mode='bpe') + every search path must match a Python
+    BM25 oracle that tokenizes with the SAME vendored merge table —
+    rank-identical, scores to 1e-12 (the done-bar for wiring BPE as an
+    engine index option rather than a standalone tokenizer class)."""
+    from clip_as_service_spark import fixtures
+    from clip_as_service_spark.operators import index_build, wand
+    from clip_as_service_spark.oracle import BM25Oracle
+    from clip_as_service_spark.sources.tables import IndexStorage
+    from clip_as_service_spark.textnorm import get_bpe, tokenize_bpe_terms
+
+    n_pages = 60
+    pages = fixtures.make_pages(n_pages)
+    df = fixtures.pages_spark_df(spark, n_pages, partitions=4)
+    out = str(tmp_path / "idx_bpe")
+    index_build.build_index(
+        spark, df, out, n_shards=4, doc_id_method="dense_sorted",
+        term_mode="bpe",
+    )
+    meta = IndexStorage(out).read_meta()
+    assert meta["term_mode"] == "bpe"
+
+    bpe = get_bpe(None)  # vendored mini merge table
+    oracle = BM25Oracle.from_pages(
+        pages, tokenizer=lambda t: tokenize_bpe_terms(t, bpe)
+    )
+    assert meta["n_docs"] == oracle.n_docs
+    assert meta["avgdl"] == pytest.approx(oracle.avgdl, rel=1e-12)
+
+    queries = fixtures.make_queries()[:10]
+    # interactive reader path (tokenizes via meta's term_mode)
+    reader = wand.IndexReader(None, out, engine="pyarrow")
+    for q in queries:
+        got = reader.search(q["text"], k=5)
+        expected = oracle.topk(q["text"], k=5)
+        assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in expected], q
+        for (_, _, se), (_, _, sg) in zip(expected, got):
+            assert sg == pytest.approx(se, rel=1e-12)
+
+    # distributed batch path (query_terms must BPE-tokenize too)
+    qdf = spark.createDataFrame(
+        [(q["query_id"], q["text"]) for q in queries], "query_id int, text string"
+    )
+    got_rows = wand.search_topk(spark, out, qdf, k=5, mode="wand").collect()
+    by_q: dict[int, list] = {}
+    for r in sorted(got_rows, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+    for q in queries:
+        expected = [(r, d) for r, d, _ in oracle.topk(q["text"], k=5)]
+        assert by_q.get(q["query_id"], []) == expected, q
+
+
 # --- full reference artifact (when present) --------------------------------
 
 full = pytest.mark.skipif(

@@ -86,6 +86,31 @@ def test_candidate_jaccard_equals_unbounded_filtered(spark):
     assert {(r["id_a"], r["id_b"], r["jaccard"]) for r in bounded} == exp
 
 
+def test_connected_components_transitive(spark):
+    """Chained pairs must cluster transitively to the min id; nodes with no
+    pair stay singleton clusters; convergence must beat max_iter on a chain
+    longer than one hop."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 11), (5, 6), (8, 9), (9, 10)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 6, 8, 9, 10, 11, 20]], "id long")
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs, nodes=nodes).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 11: 1,
+        5: 5, 6: 5,
+        8: 8, 9: 8, 10: 8,
+        20: 20,
+    }
+    # greedy pairwise (q_dedup_survivors policy) would keep {1,5,8,20} too
+    # here, but the cluster form also yields the cluster membership itself
+    survivors = {i for i, c in got.items() if i == c}
+    assert survivors == {1, 5, 8, 20}
+
+
 def test_simhash_distinct_fp_banding_degenerate(spark):
     """50 empty-ish docs share one all-identical fingerprint: the banded
     join must see ONE fingerprint-pair row for the group (compute bound);

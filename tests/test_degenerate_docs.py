@@ -73,6 +73,8 @@ def test_zero_token_docs_counted_in_stats(spark, tmp_path):
     meta = IndexStorage(out).read_meta()
     oracle = BM25Oracle.from_pages(pages)
     assert meta["n_docs"] == 30 == oracle.n_docs
+    # the count-pass anchor for the dense-id triple invariant
+    assert meta["n_pages_input"] == 30
     assert meta["avgdl"] == pytest.approx(oracle.avgdl, rel=1e-12)
 
     reader = wand.IndexReader(spark, out, strategy="taat")

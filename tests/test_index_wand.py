@@ -121,6 +121,38 @@ def test_taat_early_stop_chunked_exact(spark, index_dir, oracle):
             assert sg == pytest.approx(se, rel=1e-12)
 
 
+def test_reader_caches_byte_bounded(spark, index_dir, oracle):
+    """A long-lived reader over a broad query stream must keep BOTH caches
+    (raw block rows + decoded terms) within their byte budgets and rotate
+    the query log — while results stay exact after evictions."""
+    reader = wand.IndexReader(None, index_dir, engine="pyarrow")
+    # shrink the budgets so the fixture vocabulary overflows them many times
+    reader.RAW_CACHE_MAX_BYTES = 4096
+    reader.DECODED_CACHE_MAX_BYTES = 4096
+    reader.QUERY_LOG_MAX = 5
+    queries = fixtures.make_queries()
+    vocab = sorted(
+        {t for q in queries for t in q["text"].split()}
+    )
+    for t in vocab:  # one-term queries: many distinct terms through search
+        reader.search(t, k=K)
+    assert reader._decoded_bytes <= reader.DECODED_CACHE_MAX_BYTES
+    assert len(reader._decoded_cache) < len(vocab)  # eviction happened
+    assert sum(reader._decoded_sizes.values()) == reader._decoded_bytes
+    # raw cache: bounded up to the protected (current-query) terms
+    assert len(reader._term_rows_cache) < len(vocab)
+    assert sum(reader._raw_sizes.values()) == reader._raw_bytes
+    assert set(reader._raw_sizes) == set(reader._term_rows_cache)
+    assert len(reader.query_log) == 5  # rotated, oldest dropped
+    # correctness after heavy eviction: full oracle rank+score identity
+    for q in queries[:10]:
+        got = reader.search(q["text"], k=K)
+        expected = oracle.topk(q["text"], k=K)
+        assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in expected]
+        for (_, _, se), (_, _, sg) in zip(expected, got):
+            assert sg == pytest.approx(se, rel=1e-12)
+
+
 def test_reader_rejects_v1_index(spark, index_dir, tmp_path):
     """A v1 (raw-weight payload) index must be rejected loudly, not decoded
     into garbage scores."""

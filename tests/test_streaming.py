@@ -135,5 +135,102 @@ def test_stateful_sessionize_stream_matches_batch(spark, tmp_path):
     expected_closed = {
         k: v for k, v in batch.items() if k[1] != last_sid[k[0]]
     }
-    assert got == expected_closed
+    # every event-closed session emitted exactly; tail sessions MAY also be
+    # emitted when the watermark passed their timeout mid-stream (event-time
+    # timeout) — any emitted session must match the batch values exactly
+    assert set(expected_closed) <= set(got)
+    for k, v in got.items():
+        assert batch[k] == v
+    extras = set(got) - set(expected_closed)
+    assert all(k[1] == last_sid[k[0]] for k in extras)  # extras are tails only
     assert len(got) > 0
+
+
+def _run_session_stream(spark, ev_dir, name, gap_sec=1800, watermark_delay="1 hour"):
+    from clip_as_service_spark.streaming import incremental
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_dir)
+    )
+    out = incremental.sessionize_stream(
+        stream, gap_sec=gap_sec, watermark_delay=watermark_delay
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}").collect()
+
+
+def test_sessionize_stream_timeout_emits_idle_session(spark, tmp_path):
+    """A user who stops sending events must still get their final session
+    emitted once the watermark (driven by OTHER users' events) passes
+    last_ts + gap — and their state must not linger forever (ADVICE r02)."""
+    from datetime import datetime
+
+    ev_dir = str(tmp_path / "ev_idle")
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    t0 = datetime(2026, 1, 1, 10, 0, 0)
+
+    def _ts(sec):
+        from datetime import timedelta
+
+        return t0 + timedelta(seconds=sec)
+
+    # batch 1: user 1 sends two events then goes idle; user 2 active
+    b1 = [(1, _ts(0), 1, 1.0), (2, _ts(10), 1, 2.0), (3, _ts(20), 2, 5.0)]
+    # batch 2: only user 2, far in the future — watermark sails past
+    # user 1's (last_ts + gap)
+    b2 = [(4, _ts(4 * 3600), 2, 7.0)]
+    # batch 3: watermark from batch 2 now triggers user 1's timeout
+    b3 = [(5, _ts(5 * 3600), 2, 9.0)]
+    for chunk in (b1, b2, b3):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ev_dir)
+
+    rows = _run_session_stream(
+        spark, ev_dir, "idle_sessions", gap_sec=1800, watermark_delay="0 seconds"
+    )
+    got = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["value_sum"])
+        for r in rows
+    }
+    # user 1's idle session emitted BY TIMEOUT (no closing event ever came)
+    assert got.get((1, 1)) == (2, 3.0)
+
+
+def test_sessionize_stream_out_of_order_fails_fast(spark, tmp_path):
+    """A cross-batch event-time regression (inside the watermark tolerance)
+    must raise the ordered-ingest contract error, not mis-sessionize."""
+    from datetime import datetime, timedelta
+
+    import pytest as _pytest
+
+    ev_dir = str(tmp_path / "ev_ooo")
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    t0 = datetime(2026, 1, 1, 10, 0, 0)
+    b1 = [(1, t0, 1, 1.0), (2, t0 + timedelta(seconds=60), 1, 2.0)]
+    # regressed event: older than the user's state, but NOT watermark-late
+    # (delay below is generous), so it reaches the stateful function
+    b2 = [(3, t0 + timedelta(seconds=30), 1, 9.0)]
+    for chunk in (b1, b2):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ev_dir)
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException) as ei:
+        _run_session_stream(
+            spark, ev_dir, "ooo_sessions", watermark_delay="2 hours"
+        )
+    assert "ordered-ingest contract violated" in str(ei.value)
