@@ -62,7 +62,13 @@ def build_at(cores: int, pages_path: str, n_docs: int) -> dict:
     index_build.build_index(spark, pages, out, n_shards=32, doc_id_method="dense")
     build_sec = time.perf_counter() - t0
 
-    reader = wand.IndexReader(spark, out)
+    # cache budgets sized to the corpus working set (head-term decoded lists
+    # are ~16 B/posting — a deployment provisions the reader's cache the
+    # same way); still BOUNDED, just not smaller than one head term
+    budget = max(256 << 20, int(n_docs * 16 * 8))
+    reader = wand.IndexReader(
+        spark, out, raw_cache_bytes=budget // 2, decoded_cache_bytes=budget
+    )
     reader.search("warm up the scan path", k=10)
     lat = []
     for q in fixtures.make_queries()[:30]:

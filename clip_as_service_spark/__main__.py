@@ -3,6 +3,8 @@ mirroring the reference's `python -m clip_server <flow.yml>` single-entry
 style (reference server/clip_server/__main__.py:13-26).
 
     python -m clip_as_service_spark build  --input pages.parquet --out ./idx
+    python -m clip_as_service_spark build  --input p.parquet --out ./idx --term-mode bpe
+    python -m clip_as_service_spark merge  --inputs ./idx_a ./idx_b --out ./idx
     python -m clip_as_service_spark search --index ./idx --query "hello world" -k 10
     python -m clip_as_service_spark search --index ./idx --queries-tsv qs.tsv
     python -m clip_as_service_spark stats  --index ./idx
@@ -40,9 +42,30 @@ def cmd_build(args) -> int:
         n_shards=args.n_shards,
         salt_cutoff=args.salt_cutoff,
         doc_id_method=args.doc_id_method,
+        term_mode=args.term_mode,
+        bpe_path=args.bpe_path,
     )
     from .sources.tables import IndexStorage
 
+    log = IndexStorage(args.out).read(spark, "build_log")
+    for r in log.orderBy("stage", "shard").collect():
+        print(json.dumps(r.asDict()))
+    return 0
+
+
+def cmd_merge(args) -> int:
+    spark = _spark(args)
+    spark.sparkContext.setLogLevel("WARN")
+    from .operators.index_build import merge_indexes
+    from .sources.tables import IndexStorage
+
+    merge_indexes(
+        spark,
+        args.inputs,
+        args.out,
+        n_shards=args.n_shards,
+        salt_cutoff=args.salt_cutoff,
+    )
     log = IndexStorage(args.out).read(spark, "build_log")
     for r in log.orderBy("stage", "shard").collect():
         print(json.dumps(r.asDict()))
@@ -114,7 +137,24 @@ def main(argv: list[str] | None = None) -> int:
         default="dense",
         choices=["dense", "dense_sorted", "hash", "row_number"],
     )
+    b.add_argument(
+        "--term-mode", default="word", choices=["word", "bpe"],
+        help="index vocabulary: word tokens (default) or BPE ids",
+    )
+    b.add_argument(
+        "--bpe-path", default=None,
+        help="BPE merges file (.txt.gz); default = vendored mini table",
+    )
     b.set_defaults(fn=cmd_build)
+
+    m = sub.add_parser(
+        "merge", help="hierarchically merge partial indexes (hash doc ids)"
+    )
+    m.add_argument("--inputs", nargs="+", required=True)
+    m.add_argument("--out", required=True)
+    m.add_argument("--n-shards", type=int, default=32)
+    m.add_argument("--salt-cutoff", type=int, default=50_000)
+    m.set_defaults(fn=cmd_merge)
 
     s = sub.add_parser("search", help="BM25 top-k search")
     s.add_argument("--index", required=True)

@@ -105,6 +105,13 @@ def build_index(
         )
     meta = store.read_meta()
     n_shards = meta["n_shards"]
+    if not store.exists("postings") and meta.get("term_mode", "word") != term_mode:
+        # the param only drives stage 1; a mismatch before stage 1 means the
+        # caller expects a different vocabulary than this index records
+        raise ValueError(
+            f"index at {out_dir} has term_mode={meta.get('term_mode')!r} "
+            f"but build was called with term_mode={term_mode!r}"
+        )
 
     # -- stage 1: postings checkpoint --------------------------------------
     if not store.exists("postings"):
@@ -427,6 +434,15 @@ def merge_indexes(
     metas = [p.read_meta() for p in parts]
     if any(m["doc_id_method"] != "hash" for m in metas):
         raise ValueError("merge requires content-derived doc ids (hash)")
+    # every part must share ONE vocabulary: merging a BPE-term index with a
+    # word-term index (or two different merge tables) would interleave
+    # incompatible term spaces silently
+    modes = {(m.get("term_mode", "word"), m.get("bpe_path")) for m in metas}
+    if len(modes) > 1:
+        raise ValueError(
+            f"merge requires identical term_mode/bpe_path across parts; got {sorted(modes)}"
+        )
+    (term_mode, bpe_path), = modes
     if not store.has_meta():
         store.write_meta(
             {
@@ -437,6 +453,8 @@ def merge_indexes(
                 "salt_cutoff": salt_cutoff,
                 "target_sublist": target_sublist,
                 "doc_id_method": "hash",
+                "term_mode": term_mode,
+                "bpe_path": bpe_path,
                 "merged_from": [p.root for p in parts],
                 "version": 2,  # block format v2: vByte tf+dl payloads, w recomputed
             }

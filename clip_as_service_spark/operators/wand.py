@@ -348,7 +348,18 @@ class IndexReader:
     the same way, retriever.md:117-136). Works wherever the driver can read
     the index store (local disk here; object store on a cluster). Pass
     ``engine="spark"`` to route the scan through Spark instead. Decoded
-    term cursors are memoized across queries (head terms repeat)."""
+    term cursors are memoized across queries (head terms repeat).
+
+    strategy='auto' crossover: vectorized TAAT (numpy, whole lists decoded)
+    up to ``taat_max_postings``; the per-posting-loop Python WAND only
+    beyond it. The bound is a MEMORY bound, not a latency bound — decoded
+    lists cost ~16 B/posting (default 250M ⇒ ≤4 GB peak), and measured at a
+    12.8M-doc index the heaviest fixture query (36.7M postings) runs in
+    ~14 s under TAAT vs minutes under driver-side Python WAND (the 30-query
+    loop: 129 s TAAT-forced vs >35 min under the old 20M crossover).
+    Posting volumes past the bound belong on the distributed search_topk
+    paths — the same boundary a deployment draws between a resident shard
+    reader and the cluster."""
 
     def __init__(
         self,
@@ -356,7 +367,9 @@ class IndexReader:
         index_dir: str,
         engine: str = "pyarrow",
         strategy: str = "auto",
-        taat_max_postings: int = 20_000_000,
+        taat_max_postings: int = 250_000_000,
+        raw_cache_bytes: int | None = None,
+        decoded_cache_bytes: int | None = None,
     ):
         self.spark = spark
         self.store = IndexStorage(index_dir)
@@ -364,6 +377,16 @@ class IndexReader:
         self.engine = engine
         self.strategy = strategy
         self.taat_max_postings = taat_max_postings
+        # cache budgets: class defaults suit a few-million-doc shard; SIZE TO
+        # THE CORPUS for bigger shards — one Zipf-head term decodes to
+        # ~16 B/posting (205 MB at df=12.8M), and a budget smaller than the
+        # query stream's head-term working set turns every query into a
+        # re-fetch + re-decode of its largest lists (measured: the 12.8M-doc
+        # latency loop ran ~10× slower under a 256 MB budget than sized-up)
+        if raw_cache_bytes is not None:
+            self.RAW_CACHE_MAX_BYTES = raw_cache_bytes
+        if decoded_cache_bytes is not None:
+            self.DECODED_CACHE_MAX_BYTES = decoded_cache_bytes
         if self.meta.get("version") != 2:
             raise ValueError(
                 f"index at {index_dir} has block format "

@@ -582,6 +582,47 @@ FROM (SELECT doc_id, t, unnest(range(CAST(floor((len(t)-1)/10) AS BIGINT) + 1)) 
 """
 
 
+PHRASES: list[tuple[int, str]] = [(0, "hash join"), (1, "spark window agg")]
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search: every exact occurrence of each phrase as
+    (phrase_id, doc_id, start_pos) — chained positional equi-joins
+    (operators/phrase.py); the oracle checks via k-gram string equality."""
+    from ..operators import phrase as _ph
+
+    docs = _t(spark, sf_dir, "documents")
+    pos = _ph.token_positions(docs, "doc_id", "text")
+    parts = []
+    for pid, ph in PHRASES:
+        parts.append(
+            _ph.phrase_positions(pos, ph.split(" ")).select(
+                F.lit(pid).alias("phrase_id"),
+                F.col("id").cast("long").alias("doc_id"),
+                "start_pos",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _sql_phrase_search() -> str:
+    selects = []
+    for pid, ph in PHRASES:
+        k = len(ph.split(" "))
+        selects.append(f"""
+SELECT {pid} AS phrase_id, CAST(doc_id AS BIGINT) AS doc_id, CAST(i AS INT) AS start_pos
+FROM (SELECT doc_id, t, unnest(range(greatest(len(t) - {k - 1}, 0))) AS i
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))
+WHERE array_to_string(t[i+1:i+{k}], ' ') = '{ph}'""")
+    return " UNION ALL ".join(selects)
+
+
+SQL_PHRASE_SEARCH = _sql_phrase_search()
+
+
 def q_set_ops_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations (§2.7): terms of short docs INTERSECT long docs,
     EXCEPT stopwords — vocabulary overlap between corpus slices."""
@@ -863,6 +904,24 @@ minreach AS (SELECT src, min(dst) AS mn FROM reach GROUP BY src)
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        CAST(least(d.doc_id, coalesce(m.mn, d.doc_id)) AS BIGINT) AS cluster_id
 FROM documents d LEFT JOIN minreach m ON d.doc_id = m.src
+"""
+
+
+def q_dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-canonical survivor set: keep exactly the min id of every
+    connected component (ONE survivor per transitive cluster). Differs from
+    the greedy q_dedup_survivors when duplicate relations chain: greedy
+    keeps every doc that never appears as a pair's higher id, so a doc
+    linked only as the LOWER id of its pairs survives alongside the
+    component min (e.g. pairs (1,9),(5,9): greedy keeps {1,5}, clusters
+    keep {1}). Both always keep the component min."""
+    cc = q_dedup_clusters(spark, sf_dir)
+    return cc.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+
+
+SQL_DEDUP_CLUSTER_SURVIVORS = f"""
+WITH cc AS ({SQL_DEDUP_CLUSTERS})
+SELECT doc_id FROM cc WHERE doc_id = cluster_id
 """
 
 
@@ -1488,6 +1547,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_pipeline": (q_dedup_pipeline, SQL_DEDUP_PIPELINE),
     "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "dedup_cluster_survivors": (q_dedup_cluster_survivors, SQL_DEDUP_CLUSTER_SURVIVORS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
@@ -1505,6 +1565,7 @@ REGISTRY: dict[str, tuple] = {
     "label_centroids": (q_label_centroids, SQL_LABEL_CENTROIDS),
     "explode_chunks": (q_explode_chunks, SQL_EXPLODE_CHUNKS),
     "set_ops_terms": (q_set_ops_terms, SQL_SET_OPS_TERMS),
+    "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
 }
 
 

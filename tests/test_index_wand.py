@@ -125,10 +125,14 @@ def test_reader_caches_byte_bounded(spark, index_dir, oracle):
     """A long-lived reader over a broad query stream must keep BOTH caches
     (raw block rows + decoded terms) within their byte budgets and rotate
     the query log — while results stay exact after evictions."""
-    reader = wand.IndexReader(None, index_dir, engine="pyarrow")
-    # shrink the budgets so the fixture vocabulary overflows them many times
-    reader.RAW_CACHE_MAX_BYTES = 4096
-    reader.DECODED_CACHE_MAX_BYTES = 4096
+    # budgets are constructor-sizable (deployments size them to the shard's
+    # head-term working set); tiny values force constant eviction here
+    reader = wand.IndexReader(
+        None, index_dir, engine="pyarrow",
+        raw_cache_bytes=4096, decoded_cache_bytes=4096,
+    )
+    assert reader.RAW_CACHE_MAX_BYTES == 4096
+    assert reader.DECODED_CACHE_MAX_BYTES == 4096
     reader.QUERY_LOG_MAX = 5
     queries = fixtures.make_queries()
     vocab = sorted(
@@ -296,6 +300,50 @@ def test_hierarchical_merge_equals_single_build(spark, tmp_path):
     got_f = _collect_topk(wand.search_topk(spark, full, queries, k=K))
     assert got_m == got_f
     assert len(got_f) > 20
+
+
+def test_merge_carries_and_validates_term_mode(spark, tmp_path):
+    """Merging BPE-term partial indexes must produce a BPE-term merged index
+    (term_mode rides the meta — a word-tokenizing query path against BPE
+    terms would silently miss everything); mixing vocabularies must raise."""
+    pages = fixtures.make_pages(40)
+    half = 20
+
+    def build(rows, out, **extra):
+        df = spark.createDataFrame(
+            rows,
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+        kw = {**SALT_KW, "doc_id_method": "hash", **extra}
+        index_build.build_index(spark, df, out, **kw)
+        return out
+
+    a = build(pages[:half], str(tmp_path / "bpe_a"), term_mode="bpe")
+    b = build(pages[half:], str(tmp_path / "bpe_b"), term_mode="bpe")
+    w = build(pages[half:], str(tmp_path / "word_b"))  # word-mode part
+
+    merged = str(tmp_path / "bpe_merged")
+    merge_kw = {k: v for k, v in SALT_KW.items() if k != "doc_id_method"}
+    index_build.merge_indexes(spark, [a, b], merged, **merge_kw)
+    meta = IndexStorage(merged).read_meta()
+    assert meta["term_mode"] == "bpe"
+
+    # merged BPE index ≡ one BPE build over the union (reader tokenizes BPE
+    # on both sides because term_mode rode the meta)
+    full = build(pages, str(tmp_path / "bpe_full"), term_mode="bpe")
+    r_merged = wand.IndexReader(None, merged, engine="pyarrow")
+    r_full = wand.IndexReader(None, full, engine="pyarrow")
+    hits = 0
+    for q in fixtures.make_queries()[:6]:
+        got = r_merged.search(q["text"], k=5)
+        assert got == r_full.search(q["text"], k=5), q
+        hits += len(got)
+    assert hits > 0
+
+    with pytest.raises(ValueError, match="term_mode"):
+        index_build.merge_indexes(
+            spark, [a, w], str(tmp_path / "bad_merge"), **merge_kw
+        )
 
 
 def test_index_bitwise_partition_invariance(spark, tmp_path, index_dir):
