@@ -160,6 +160,12 @@ def main() -> None:
                 emb, q_ann, dq._ivf_centroids(spark, sf_dir), k=10, nprobe=2
             )
         ),
+        "ivf_km16_np2": _recall(
+            sim.ivf_topk(
+                emb, q_ann, sim.kmeans_centroids(emb, k=16, n_iter=5),
+                k=10, nprobe=2,
+            )
+        ),
     }
 
     # embedding near-dup PAIR COVERAGE vs brute-force truth at the same

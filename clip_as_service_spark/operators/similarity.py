@@ -367,6 +367,64 @@ def ivf_topk(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train the IVF coarse quantizer: Lloyd's k-means with cosine
+    assignment (the same metric ivf_topk probes with) → (cell_id, centroid).
+
+    Deterministic throughout: init = the k lowest-id vectors (ids are
+    content-derived or dense — either way stable); assignment ties break by
+    cell_id. Each iteration is ONE broadcast-join + map-side-combinable
+    argmin pass over the corpus (see _nearest_cells) and ONE component
+    aggregate — per-iteration shuffle is N assignment rows + k·dim
+    component rows, never N×C. Centroids live driver-side between
+    iterations (k·dim doubles — KBs to MBs; that smallness is what makes a
+    coarse quantizer coarse). Empty cells keep their previous centroid."""
+    spark = embeddings.sparkSession
+    dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        return spark.createDataFrame([], "cell_id long, centroid array<double>")
+    init = [
+        (int(i), [float(x) for x in v])
+        for i, (v,) in enumerate(
+            embeddings.orderBy(id_col).select(vec_col).limit(k).collect()
+        )
+    ]
+    cents = spark.createDataFrame(init, "cell_id long, centroid array<double>")
+    for _ in range(n_iter):
+        assign = _nearest_cells(
+            embeddings.select(id_col, vec_col), cents, 1,
+            id_col, vec_col, "cell_id", "centroid", "_r",
+        )
+        comp = assign.select(
+            "cell_id", F.posexplode(vec_col).alias("i", "v")
+        ).groupBy("cell_id", "i").agg(
+            F.avg(F.col("v").cast("double")).alias("c")
+        )
+        new_rows = {
+            int(r["cell_id"]): r["arr"]
+            for r in comp.groupBy("cell_id")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("s"))
+            .select(
+                "cell_id", F.transform("s", lambda x: x["c"]).alias("arr")
+            )
+            .collect()
+        }
+        init = [
+            (cid, [float(x) for x in new_rows.get(cid, old)])
+            for cid, old in init
+        ]
+        cents = spark.createDataFrame(
+            init, "cell_id long, centroid array<double>"
+        )
+    return cents
+
+
 def _nearest_cells(
     vecs: DataFrame,
     centroids: DataFrame,

@@ -13,11 +13,14 @@ Three physical strategies, identical results:
   job scans the pruned block set; WAND runs on the driver over the collected
   blocks. Latency = one filtered parquet scan.
 
-- ``search_topk(..., mode="wand")`` — batch of queries, per-query
-  document-at-a-time WAND with a bounded min-heap inside applyInPandas.
-  Blocks decode lazily; advancing skips whole blocks via last_doc; pruning
-  uses admissible upper bounds (idf · max block max_w) inflated by 1+1e-9 so
-  float rounding of the UB sum can never prune a true top-k doc → EXACT.
+- ``search_topk(..., mode="wand")`` — batch of queries, one task per query
+  inside applyInPandas. In-task scorer mirrors the reader's crossover:
+  vectorized TAAT while decoded lists fit the memory bound (measured
+  20-30× faster at tens of millions of postings), document-at-a-time WAND
+  with a bounded min-heap beyond it. WAND blocks decode lazily; advancing
+  skips whole blocks via last_doc; pruning uses admissible upper bounds
+  (idf · max block max_w) inflated by 1+1e-9 so float rounding of the UB
+  sum can never prune a true top-k doc → both scorers EXACT.
 
 - ``search_topk(..., mode="exploded")`` — decode all candidate blocks via
   mapInPandas into (term, doc_id, idf·w) rows, ordered-fold sum, window
@@ -737,16 +740,30 @@ def query_routing(
     }
 
 
-def _make_wand(k: int, bm25: tuple):
+_BATCH_TAAT_MAX_POSTINGS = 250_000_000  # same memory bound as IndexReader
+
+
+def _make_wand(k: int, bm25: tuple, taat_max: int | None = None):
+    # the crossover is read HERE (driver side) and captured by the closure —
+    # executor workers re-import the module, so a module global read inside
+    # the UDF would ignore driver-side overrides
+    if taat_max is None:
+        taat_max = _BATCH_TAAT_MAX_POSTINGS
+
     def _wand(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return pd.DataFrame(
                 {"query_id": [], "rank": [], "doc_id": [], "score": []}
             )
         query_id = int(pdf["query_id"].iloc[0])
-        result = wand_topk(
-            _cursors_from_rows(list(pdf.itertuples(index=False)), bm25), k
-        )
+        rows = list(pdf.itertuples(index=False))
+        # same crossover as the interactive reader: vectorized TAAT while
+        # decoded lists fit (~16 B/posting), per-posting Python WAND only
+        # beyond — measured 20-30× faster at tens of millions of postings
+        if int(pdf["n"].sum()) <= taat_max:
+            result = taat_topk(rows, k, bm25)
+        else:
+            result = wand_topk(_cursors_from_rows(rows, bm25), k)
         return pd.DataFrame(
             {
                 "query_id": np.full(len(result), query_id, dtype=np.int64),

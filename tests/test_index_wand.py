@@ -60,6 +60,15 @@ def test_wand_exact_topk(spark, index_dir, oracle):
     _assert_matches_oracle(got, oracle)
 
 
+def test_wand_exact_topk_python_wand_fallback(spark, index_dir, oracle, monkeypatch):
+    """The per-posting Python WAND branch (taken only past the in-task TAAT
+    memory bound) must stay exact — force it by zeroing the crossover."""
+    monkeypatch.setattr(wand, "_BATCH_TAAT_MAX_POSTINGS", 0)
+    queries = fixtures.queries_spark_df(spark)
+    got = _collect_topk(wand.search_topk(spark, index_dir, queries, k=K, mode="wand"))
+    _assert_matches_oracle(got, oracle)
+
+
 def test_auto_mode_routes_heavy_queries_exactly(spark, index_dir, oracle):
     """mode=auto with a tiny heavy threshold: head-term queries take the
     distributed exploded plan, tail queries take WAND — the union must be

@@ -142,3 +142,37 @@ def test_ivf_topk_probes_and_exact_scores(spark, emb, queries):
         for r in sim.ivf_topk(emb, queries, cents, k=1_000_000, nprobe=n_cells).collect()
     }
     assert ids_2 <= ids_all
+
+
+def test_kmeans_centroids_deterministic_and_better_quantizer(spark, emb, queries):
+    """kmeans_centroids must be bit-deterministic across runs (seedless
+    deterministic init + tie-broken assignment) and, as an IVF quantizer,
+    must not lose to the label-centroid stand-in at the same nprobe on the
+    deterministic fixture."""
+    km1 = sim.kmeans_centroids(emb, k=8, n_iter=3)
+    km2 = sim.kmeans_centroids(emb, k=8, n_iter=3)
+    rows1 = sorted((r["cell_id"], tuple(r["centroid"])) for r in km1.collect())
+    rows2 = sorted((r["cell_id"], tuple(r["centroid"])) for r in km2.collect())
+    assert rows1 == rows2
+    assert len(rows1) == 8
+
+    from clip_as_service_spark.plans.driver_queries import _ivf_centroids
+
+    def _sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    exact = _sets(sim.cosine_topk(emb, queries, k=K))
+
+    def _recall(df):
+        got = _sets(df)
+        return sum(
+            len(got.get(q, set()) & v) / len(v) for q, v in exact.items()
+        ) / len(exact)
+
+    lab = _ivf_centroids(spark, SF_DIR)
+    r_lab = _recall(sim.ivf_topk(emb, queries, lab, k=K, nprobe=2))
+    r_km = _recall(sim.ivf_topk(emb, queries, km1, k=K, nprobe=2))
+    assert r_km >= r_lab
