@@ -81,12 +81,20 @@ def build_index(
     text_col: str = "text",
     term_mode: str = "word",
     bpe_path: str | None = None,
+    positions: bool = False,
 ) -> IndexStorage:
     """Run all build stages, skipping any whose checkpoint already exists.
 
     term_mode='bpe' indexes BPE ids (string terms) instead of word tokens;
     the mode and merges path persist in _meta.json so every query path
-    tokenizes with the vocabulary the index was built with."""
+    tokenizes with the vocabulary the index was built with.
+
+    positions=True additionally persists a term-sharded positional table
+    (phrase.build_positions_index) enabling indexed phrase queries; it adds
+    a second tokenize pass over the pages (positions don't survive the tf
+    aggregation of stage 1), so it's opt-in. With doc_id_method='dense' the
+    extra pass re-derives ids — use 'hash' or 'dense_sorted' (persisted)
+    when the source plan isn't deterministic across scans."""
     store = IndexStorage(out_dir)
     if not store.has_meta():
         store.write_meta(
@@ -100,6 +108,7 @@ def build_index(
                 "doc_id_method": doc_id_method,
                 "term_mode": term_mode,
                 "bpe_path": bpe_path,
+                "positions": positions,
                 "version": 2,  # block format v2: vByte tf+dl payloads, w recomputed
             }
         )
@@ -114,6 +123,7 @@ def build_index(
         )
 
     # -- stage 1: postings checkpoint --------------------------------------
+    with_ids = None
     if not store.exists("postings"):
         t0 = time.perf_counter()
         # the tokenizer is CPU-bound Python: make sure the scan fans out to
@@ -148,6 +158,26 @@ def build_index(
             meta["n_pages_input"] = int(id_counts["n_pages"])
             store.write_meta(meta)
         _log(spark, store, "postings", t0)
+
+    # -- optional stage 1b: positional table (indexed phrase search) --------
+    if positions and not meta.get("positions"):
+        meta["positions"] = True  # enabling on resume is allowed
+        store.write_meta(meta)
+    if meta.get("positions") and not store.exists("positions"):
+        t0 = time.perf_counter()
+        if with_ids is None:
+            # resume path: re-derive ids from pages (deterministic for
+            # hash/dense_sorted; see the docstring hazard note for 'dense')
+            with_ids = tok.assign_doc_ids(
+                pages.select("url", F.col(text_col)),
+                method=meta["doc_id_method"],
+            )
+        from . import phrase as _phrase
+
+        _phrase.build_positions_index(
+            spark, with_ids, store, n_shards, text_col=text_col
+        )
+        _log(spark, store, "positions", t0)
 
     postings = store.read(spark, "postings")
 

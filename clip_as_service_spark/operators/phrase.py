@@ -14,7 +14,10 @@ Scale shape: every join is an equi-join keyed on (doc_id, aligned start
 position) — a near-unique key, so no skew; each successive join only
 SHRINKS the candidate set (the rarest-term-first ordering a planner would
 pick is a straightforward extension). No window functions, no cross joins,
-no Python.
+no Python. At rest, the positional table is stored term-partitioned exactly
+like the block index (shard = pmod(xxhash64(term))), so the per-term
+filters below become partition pruning + row-group skipping rather than
+full scans — phrase_positions itself is storage-agnostic.
 """
 
 from __future__ import annotations
@@ -33,6 +36,68 @@ def token_positions(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "term"),
     )
+
+
+def build_positions_index(
+    spark,
+    pages_with_ids: DataFrame,
+    store,
+    n_shards: int,
+    text_col: str = "text",
+) -> None:
+    """Persist a term-sharded POSITIONAL table next to the block index:
+    (term, doc_id, pos) partitioned by shard = pmod(xxhash64(term)) and
+    sorted by term within files — the same two-level pruning the block scan
+    gets (PLANS.md §2), so an indexed phrase query reads only its terms'
+    shards/row-groups. Tokens come from the byte-identity tokenizer (the
+    index vocabulary), not split-on-space."""
+    from ..functions.text import tokenize_udf
+
+    toks = pages_with_ids.select(
+        "doc_id", F.posexplode(tokenize_udf(F.col(text_col))).alias("pos", "term")
+    )
+    out = toks.select(
+        "term",
+        F.pmod(F.xxhash64("term"), F.lit(n_shards)).cast("int").alias("shard"),
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+    )
+    target = max(pages_with_ids.sparkSession.sparkContext.defaultParallelism * 2, n_shards)
+    splits = max(1, -(-target // n_shards))
+    out = out.repartition(
+        target, F.col("shard"), F.pmod(F.xxhash64("term"), F.lit(splits))
+    ).sortWithinPartitions("shard", "term", "doc_id", "pos")
+    store.write(out, "positions", partition_by=["shard"])
+
+
+def phrase_search_indexed(
+    spark, index_dir: str, phrase: str, k: int | None = None
+) -> DataFrame:
+    """→ (doc_id, start_pos) occurrences of `phrase` via the PERSISTED
+    positional table: the scan is pruned to the phrase terms' shards
+    (driver-side xxhash64) and to their row groups (term min/max stats) —
+    at 10^12 docs a phrase query touches only its own posting lists, the
+    same access path as BM25 blocks. Requires build_index(...,
+    positions=True). The phrase is tokenized with the index's vocabulary's
+    WORD pipeline (positions always store word tokens — BPE splits words
+    into pieces, which would make 'adjacent' mean sub-word adjacency)."""
+    from ..sources.tables import IndexStorage
+    from ..functions.hashing import term_shard
+    from ..textnorm import tokenize_words
+
+    store = IndexStorage(index_dir)
+    meta = store.read_meta()
+    terms = tokenize_words(phrase)
+    if not terms:
+        return spark.createDataFrame([], "id long, start_pos int")
+    shards = sorted({term_shard(t, meta["n_shards"]) for t in terms})
+    pos = (
+        store.read(spark, "positions")
+        .where(F.col("shard").isin(shards) & F.col("term").isin(sorted(set(terms))))
+        .select(F.col("doc_id").alias("id"), "pos", "term")
+    )
+    out = phrase_positions(pos, terms)
+    return out.limit(k) if k is not None else out
 
 
 def phrase_positions(positions: DataFrame, phrase_terms: list[str]) -> DataFrame:

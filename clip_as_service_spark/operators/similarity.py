@@ -271,7 +271,13 @@ def rh_cosine_pairs(
     axis-aligned variant (cosine_pairs) collapses to hot buckets with
     ~quadratic within-bucket pair counts when early dims are correlated (its
     measured pair coverage is reported next to this one in BENCH). Pair
-    recall per true pair at cosine c: 1 − (1 − p^n_bits)^L, p = 1 − θ/π."""
+    recall per true pair at cosine c: 1 − (1 − p^n_bits)^L, p = 1 − θ/π.
+
+    Sizing at scale: within-bucket pair count ~ (N/2^n_bits)²·2^n_bits per
+    table, so n_bits must GROW with the corpus — pick
+    n_bits ≈ log2(N / target_bucket_size) (e.g. N=10^9, 1k-row buckets →
+    20 bits) and spend tables L to buy recall back; the defaults here are
+    fixture-scaled."""
     planes_bits = n_bits * n_tables
     tables_d = [
         F.struct(

@@ -53,16 +53,19 @@ def stream_postings(
     pages_stream: DataFrame,
     dedup_urls: bool = True,
     watermark: str = "1 hour",
+    term_mode: str = "word",
+    bpe_path: str | None = None,
 ) -> DataFrame:
     """pages stream → postings rows; optional stateful URL dedup.
 
     dropDuplicates on url with a warc_ts watermark = the stream analog of
-    the build's unique-doc assumption (state is bounded by the watermark)."""
+    the build's unique-doc assumption (state is bounded by the watermark).
+    term_mode must match the batch index these appends will compact into."""
     s = pages_stream
     if dedup_urls:
         s = s.withWatermark("warc_ts", watermark).dropDuplicates(["url"])
     with_ids = s.withColumn("doc_id", F.xxhash64(F.col("url")))
-    return build_postings(with_ids)
+    return build_postings(with_ids, term_mode=term_mode, bpe_path=bpe_path)
 
 
 def start_postings_stream(

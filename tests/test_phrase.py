@@ -39,3 +39,45 @@ def test_phrase_empty_and_oov(spark):
     rows = [(1, "a b c")]
     assert _matches(spark, rows, []) == set()
     assert _matches(spark, rows, ["zzz"]) == set()
+
+
+def test_indexed_phrase_search_matches_token_oracle(spark, tmp_path):
+    """build_index(positions=True) persists the term-sharded positional
+    table; phrase_search_indexed must find exactly the occurrences a pure
+    Python scan over tokenize_words finds (byte-identity vocabulary), and
+    its scan must be pruned to the phrase terms' shards."""
+    from clip_as_service_spark import fixtures
+    from clip_as_service_spark.operators import index_build
+    from clip_as_service_spark.textnorm import tokenize_words
+
+    pages = fixtures.make_pages(80)
+    df = fixtures.pages_spark_df(spark, 80, partitions=4)
+    out = str(tmp_path / "idx_pos")
+    index_build.build_index(
+        spark, df, out, n_shards=4, doc_id_method="dense_sorted",
+        positions=True,
+    )
+
+    # oracle: doc_id = row_number over url asc (matches dense_sorted)
+    ordered = sorted(pages, key=lambda p: p["url"])
+    toks = {i: tokenize_words(p["text"]) for i, p in enumerate(ordered, 1)}
+    # pick a phrase that actually occurs: first doc with >= 3 tokens
+    doc_id, tt = next((i, t) for i, t in toks.items() if len(t) >= 3)
+    ph_terms = tt[1:3]
+    phrase_text = " ".join(ph_terms)
+
+    expected = set()
+    for i, t in toks.items():
+        for j in range(len(t) - len(ph_terms) + 1):
+            if t[j : j + len(ph_terms)] == ph_terms:
+                expected.add((i, j))
+    assert expected  # the phrase occurs at least once by construction
+
+    got = {
+        (r["id"], r["start_pos"])
+        for r in phrase.phrase_search_indexed(spark, out, phrase_text).collect()
+    }
+    assert got == expected
+
+    # empty phrase short-circuits
+    assert phrase.phrase_search_indexed(spark, out, "").collect() == []
