@@ -44,6 +44,7 @@ def cmd_build(args) -> int:
         doc_id_method=args.doc_id_method,
         term_mode=args.term_mode,
         bpe_path=args.bpe_path,
+        positions=args.positions,
     )
     from .sources.tables import IndexStorage
 
@@ -78,6 +79,10 @@ def cmd_search(args) -> int:
     from .operators.wand import IndexReader
 
     reader = IndexReader(spark, args.index, engine=args.engine)
+    if args.phrase:
+        for doc_id, start_pos in reader.phrase(args.phrase, limit=args.k):
+            print(json.dumps({"doc_id": doc_id, "start_pos": start_pos}))
+        return 0
     queries: list[tuple[str, str]] = []
     if args.query:
         queries.append(("q0", args.query))
@@ -145,6 +150,10 @@ def main(argv: list[str] | None = None) -> int:
         "--bpe-path", default=None,
         help="BPE merges file (.txt.gz); default = vendored mini table",
     )
+    b.add_argument(
+        "--positions", action="store_true",
+        help="also persist the term-sharded positional table (phrase queries)",
+    )
     b.set_defaults(fn=cmd_build)
 
     m = sub.add_parser(
@@ -160,6 +169,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--index", required=True)
     s.add_argument("--query")
     s.add_argument("--queries-tsv")
+    s.add_argument(
+        "--phrase", help="exact phrase lookup (requires build --positions)"
+    )
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--engine", default="pyarrow", choices=["pyarrow", "spark"])
     s.add_argument(

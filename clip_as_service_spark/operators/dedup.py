@@ -395,8 +395,12 @@ def connected_components(
         nodes = und.select(F.col("id_a").alias("id")).distinct()
     else:
         nodes = nodes.select("id").distinct()
+    # convergence metric in DECIMAL(38): Σ of 10^12 64-bit ids overflows a
+    # long (ANSI mode throws); labels only ever decrease, so an unchanged
+    # Σ ⇔ fixpoint
+    _s = F.sum(F.col("cc").cast("decimal(38,0)"))
     labels = nodes.select("id", F.col("id").alias("cc")).localCheckpoint()
-    prev_sum = labels.agg(F.sum("cc")).collect()[0][0]
+    prev_sum = labels.agg(_s).collect()[0][0]
     for _ in range(max_iter):
         nbr = (
             und.join(labels, und["id_b"] == labels["id"])
@@ -411,7 +415,7 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        s = labels.agg(F.sum("cc")).collect()[0][0]
+        s = labels.agg(_s).collect()[0][0]
         if s == prev_sum:
             break
         prev_sum = s

@@ -577,6 +577,54 @@ class IndexReader:
         if len(self.query_log) > self.QUERY_LOG_MAX:
             del self.query_log[: len(self.query_log) - self.QUERY_LOG_MAX]
 
+    def phrase(self, text: str, limit: int | None = None) -> list[tuple[int, int]]:
+        """→ [(doc_id, start_pos)] exact occurrences of the phrase, from the
+        PERSISTED positional table (build_index(positions=True)) — the
+        interactive twin of phrase.phrase_search_indexed: shard pruning is
+        computed driver-side, the pyarrow scan reads only the phrase terms'
+        shards/row-groups, and the positional intersection runs vectorized
+        on the driver (sorted-merge over aligned starts)."""
+        terms = tokenize_words(text)
+        if not terms:
+            return []
+        if not self.meta.get("positions"):
+            raise ValueError(
+                "index has no positional table — build with positions=True"
+            )
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        ds = pads.dataset(
+            self.store.path("positions"), format="parquet", partitioning="hive"
+        )
+        shards = sorted({term_shard(t, self.meta["n_shards"]) for t in terms})
+        tbl = ds.to_table(
+            filter=pc.field("shard").isin(shards)
+            & pc.field("term").isin(sorted(set(terms))),
+            columns=["term", "doc_id", "pos"],
+        )
+        term_arr = np.asarray(tbl.column("term"))
+        doc_arr = np.asarray(tbl.column("doc_id"), dtype=np.int64)
+        pos_arr = np.asarray(tbl.column("pos"), dtype=np.int64)
+
+        def _keys(mask, shift: int) -> np.ndarray:
+            # structured (doc, start) keys — doc_ids span the FULL signed
+            # 64-bit range under doc_id_method='hash', so no bit packing
+            a = np.empty(int(mask.sum()), dtype=[("d", np.int64), ("p", np.int64)])
+            a["d"] = doc_arr[mask]
+            a["p"] = pos_arr[mask] - shift
+            return np.unique(a)
+
+        cur: np.ndarray | None = None
+        for i, t in enumerate(terms):
+            m = (term_arr == t) & (pos_arr >= i)
+            keys = _keys(m, i)
+            cur = keys if i == 0 else np.intersect1d(cur, keys, assume_unique=True)
+            if cur.size == 0:
+                return []
+        out = sorted((int(r["d"]), int(r["p"])) for r in cur)
+        return out[:limit] if limit is not None else out
+
     def profile_summary(self) -> dict:
         """p50/p95 per phase over this reader's query_log (profile verb)."""
         import statistics

@@ -79,5 +79,13 @@ def test_indexed_phrase_search_matches_token_oracle(spark, tmp_path):
     }
     assert got == expected
 
+    # interactive (pyarrow, zero-Spark-jobs) twin must agree exactly
+    from clip_as_service_spark.operators import wand
+
+    reader = wand.IndexReader(None, out, engine="pyarrow")
+    assert set(reader.phrase(phrase_text)) == expected
+    assert reader.phrase("") == []
+    assert reader.phrase("zzzoovterm nothere") == []
+
     # empty phrase short-circuits
     assert phrase.phrase_search_indexed(spark, out, "").collect() == []
