@@ -76,14 +76,17 @@ def score_topk(
     k: int = 10,
     k1: float = K1,
     b: float = B,
+    term_mode: str = "word",
+    bpe_path: str | None = None,
 ) -> DataFrame:
     """→ (query_id, rank, doc_id, score) — exact BM25 top-k per query.
 
     Plan: qt(query_id,term) ⋈ term_df → idf (tiny, broadcast) ⋈ postings on
     term → partial per row → groupBy(query_id, doc_id) ordered-sum → window
-    row_number ≤ k.
+    row_number ≤ k. term_mode must match the postings' build vocabulary
+    (word-tokenized queries against BPE-id terms would match nothing).
     """
-    qt = query_terms(queries)
+    qt = query_terms(queries, term_mode, bpe_path)
     qt_idf = (
         qt.join(term_df, "term")
         .withColumn("idf", _idf_udf(F.col("df"), F.lit(n_docs)))

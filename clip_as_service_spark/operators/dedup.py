@@ -419,6 +419,15 @@ def connected_components(
         if s == prev_sum:
             break
         prev_sum = s
+    else:
+        # silent truncation would split a >max_iter-diameter component into
+        # several clusters with no sign anything went wrong
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds — "
+            "the pair graph has a longer path component than expected; "
+            "raise max_iter or switch the loop body to the alternating "
+            "large-star/small-star operators (O(log n) rounds)"
+        )
     return labels.select("id", F.col("cc").alias("cluster_id"))
 
 

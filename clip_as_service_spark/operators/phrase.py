@@ -97,7 +97,9 @@ def phrase_search_indexed(
         .select(F.col("doc_id").alias("id"), "pos", "term")
     )
     out = phrase_positions(pos, terms)
-    return out.limit(k) if k is not None else out
+    # deterministic truncation (same order as IndexReader.phrase) — a bare
+    # limit on an unordered plan returns an arbitrary, plan-dependent subset
+    return out.orderBy("id", "start_pos").limit(k) if k is not None else out
 
 
 def phrase_positions(positions: DataFrame, phrase_terms: list[str]) -> DataFrame:

@@ -289,14 +289,17 @@ def rh_cosine_pairs(
         for t in range(n_tables)
     ]
     d = embeddings.select(
-        id_col, vec_col, F.explode(F.array(*tables_d)).alias("tb")
+        id_col, F.explode(F.array(*tables_d)).alias("tb")
     ).select(
-        id_col, vec_col,
+        id_col,
         F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
     )
     a = d.alias("a")
     b = d.alias("b")
-    cand = (
+    # dedupe BARE id pairs first, then join the vectors back once — a pair
+    # colliding in all L tables would otherwise shuffle L copies of both
+    # full vectors through the dropDuplicates exchange just to keep one
+    cand_ids = (
         a.join(
             b,
             (F.col("a.tbl") == F.col("b.tbl"))
@@ -306,13 +309,19 @@ def rh_cosine_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("_va"),
-            F.col(f"b.{vec_col}").alias("_vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = embeddings.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+    )
+    vb = embeddings.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+    )
     return (
-        cand.select(
+        cand_ids.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
             "id_a", "id_b",
             cosine_col(F.col("_va"), F.col("_vb")).alias("cosine"),
         )

@@ -732,6 +732,21 @@ def search_topk(
                 q: ("exploded" if v > heavy_postings else "wand")
                 for q, v in vols.items()
             }
+        else:
+            # a caller-supplied routing may lag the query set — estimate the
+            # stragglers rather than silently dropping their results
+            unrouted = {r["query_id"] for r in qt_rows} - set(routing)
+            if unrouted:
+                vols = _query_volumes(
+                    joined.filter(F.col("query_id").isin(sorted(unrouted)))
+                )
+                routing = {
+                    **routing,
+                    **{
+                        q: ("exploded" if v > heavy_postings else "wand")
+                        for q, v in vols.items()
+                    },
+                }
         heavy = sorted(q for q, m in routing.items() if m == "exploded")
         parts = []
         if heavy:

@@ -104,6 +104,7 @@ def sessionize_stream(
     events_stream: DataFrame,
     gap_sec: int = 1800,
     watermark_delay: str = "1 hour",
+    tombstone_ttl_sec: int = 30 * 86400,
 ) -> DataFrame:
     """CUSTOM STATEFUL operator via applyInPandasWithState: per-user
     inactivity-gap sessionization over an event stream — the streaming form
@@ -113,9 +114,15 @@ def sessionize_stream(
     a batch CLOSES a session when an event arrives > gap_sec after it, and
     closed sessions are emitted append-mode. The open tail additionally
     closes by EVENT-TIME TIMEOUT: when the stream's watermark passes
-    last_ts + gap_sec the carried session is emitted and its state removed —
-    a user who stops sending events neither holds state forever nor
-    swallows their final session (r02 used NoTimeout and did both).
+    last_ts + gap_sec the carried session is emitted — a user who stops
+    sending events neither holds state forever nor swallows their final
+    session (r02 used NoTimeout and did both). After a timeout the state
+    becomes a TOMBSTONE (session counter + last_ts, zero aggregates) so a
+    returning user's next session gets the NEXT id — not a duplicate
+    (user_id, session_id) key in the append stream; the tombstone itself
+    expires after ``tombstone_ttl_sec`` of event time (the only case where
+    numbering restarts, documented and TTL-bounded — per-user counters are
+    the irreducible state of stable session numbering).
 
     Out-of-order input, explicitly: events later than ``watermark_delay``
     are dropped by Spark at the watermark boundary (the declared lateness
@@ -137,13 +144,22 @@ def sessionize_stream(
     def _fn(key, pdfs, state):
         user_id = int(key[0])
         if state.hasTimedOut:
-            # watermark passed last_ts + gap: the open session is closed by
-            # time itself — emit it and clear state
-            sid0, _last_ts, n0, v0 = state.get
-            state.remove()
-            yield pd.DataFrame(
-                [(user_id, int(sid0), int(n0), float(v0))], columns=cols
-            )
+            sid0, last_ts, n0, v0 = state.get
+            out0 = []
+            if n0:
+                # watermark passed last_ts + gap: the open session is closed
+                # by time itself — emit it, leave a tombstone so the user's
+                # NEXT session gets sid0+1 (not a duplicate key)
+                out0.append((user_id, int(sid0), int(n0), float(v0)))
+                tomb_to = (int(last_ts) + gap_sec + tombstone_ttl_sec) * 1000
+                if tomb_to > state.getCurrentWatermarkMs():
+                    state.update((int(sid0), int(last_ts), 0, 0.0))
+                    state.setTimeoutTimestamp(tomb_to)
+                else:
+                    state.remove()
+            else:
+                state.remove()  # the tombstone itself expired
+            yield pd.DataFrame(out0, columns=cols)
             return
         rows = pd.concat(list(pdfs))
         if rows.empty:
@@ -171,6 +187,12 @@ def sessionize_stream(
         prev[1:] = ts[:-1]
         new_s = (ts - prev) > gap_sec
         if last_ts is None:
+            new_s[0] = True
+        elif n0 == 0:
+            # tombstone: session sid0 was already emitted by timeout — new
+            # events ALWAYS open sid0+1, even if delivered within gap_sec of
+            # the old last_ts by a generous watermark delay (an emitted
+            # append-mode session can never be amended)
             new_s[0] = True
         sid = sid0 + np.cumsum(new_s.astype(np.int64))
         df = pd.DataFrame({"sid": sid, "v": vals})

@@ -111,6 +111,24 @@ def test_connected_components_transitive(spark):
     assert survivors == {1, 5, 8, 20}
 
 
+def test_connected_components_long_chain_and_nonconvergence(spark):
+    """A 40-link chain (diameter 39) must fully collapse given enough
+    rounds, and must FAIL LOUDLY — never silently return split clusters —
+    when max_iter is too small."""
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.connected_components(chain, max_iter=50).collect()
+    }
+    assert set(got.values()) == {0}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(chain, max_iter=3).collect()
+
+
 def test_simhash_distinct_fp_banding_degenerate(spark):
     """50 empty-ish docs share one all-identical fingerprint: the banded
     join must see ONE fingerprint-pair row for the group (compute bound);

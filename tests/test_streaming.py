@@ -192,7 +192,12 @@ def test_sessionize_stream_timeout_emits_idle_session(spark, tmp_path):
     b2 = [(4, _ts(4 * 3600), 2, 7.0)]
     # batch 3: watermark from batch 2 now triggers user 1's timeout
     b3 = [(5, _ts(5 * 3600), 2, 9.0)]
-    for chunk in (b1, b2, b3):
+    # batch 4: user 1 RETURNS after their session was timeout-emitted —
+    # the tombstone must number this session 2, never a duplicate (1, 1)
+    b4 = [(6, _ts(6 * 3600), 1, 4.0)]
+    # batch 5: user 2 far ahead again → watermark closes user 1's session 2
+    b5 = [(7, _ts(12 * 3600), 2, 1.0), (8, _ts(13 * 3600), 2, 1.0)]
+    for chunk in (b1, b2, b3, b4, b5):
         spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
             "append"
         ).parquet(ev_dir)
@@ -200,12 +205,15 @@ def test_sessionize_stream_timeout_emits_idle_session(spark, tmp_path):
     rows = _run_session_stream(
         spark, ev_dir, "idle_sessions", gap_sec=1800, watermark_delay="0 seconds"
     )
-    got = {
-        (r["user_id"], r["session_id"]): (r["n_events"], r["value_sum"])
-        for r in rows
-    }
+    got = {}
+    for r in rows:
+        key = (r["user_id"], r["session_id"])
+        assert key not in got, f"duplicate emitted session key {key}"
+        got[key] = (r["n_events"], r["value_sum"])
     # user 1's idle session emitted BY TIMEOUT (no closing event ever came)
     assert got.get((1, 1)) == (2, 3.0)
+    # the returning user's next session continues the numbering
+    assert got.get((1, 2)) == (1, 4.0)
 
 
 def test_sessionize_stream_out_of_order_fails_fast(spark, tmp_path):
