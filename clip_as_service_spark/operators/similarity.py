@@ -388,6 +388,7 @@ def kmeans_centroids(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample: float | None = None,
 ) -> DataFrame:
     """Train the IVF coarse quantizer: Lloyd's k-means with cosine
     assignment (the same metric ivf_topk probes with) → (cell_id, centroid).
@@ -399,8 +400,16 @@ def kmeans_centroids(
     aggregate — per-iteration shuffle is N assignment rows + k·dim
     component rows, never N×C. Centroids live driver-side between
     iterations (k·dim doubles — KBs to MBs; that smallness is what makes a
-    coarse quantizer coarse). Empty cells keep their previous centroid."""
+    coarse quantizer coarse). Empty cells keep their previous centroid.
+
+    ``sample``: train on a seeded fraction of the corpus — the standard
+    practice at scale (a coarse quantizer needs ~100-1000 training vectors
+    PER CELL, not 10^12; full-corpus training shuffles N·dim component rows
+    per iteration for no recall benefit). Assignment at query/index time
+    still covers every vector (ivf_topk)."""
     spark = embeddings.sparkSession
+    if sample is not None:
+        embeddings = embeddings.sample(False, sample, seed=7)
     dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
     if dim_row is None:
         return spark.createDataFrame([], "cell_id long, centroid array<double>")

@@ -176,3 +176,34 @@ def test_kmeans_centroids_deterministic_and_better_quantizer(spark, emb, queries
     r_lab = _recall(sim.ivf_topk(emb, queries, lab, k=K, nprobe=2))
     r_km = _recall(sim.ivf_topk(emb, queries, km1, k=K, nprobe=2))
     assert r_km >= r_lab
+
+
+def test_kmeans_sampled_training_still_useful(spark, emb, queries):
+    """Sampled quantizer training (the at-scale mode) must stay
+    deterministic and still produce a working quantizer: ivf recall over
+    sampled-trained cells within a sane margin of full-trained cells."""
+    km_s1 = sim.kmeans_centroids(emb, k=8, n_iter=3, sample=0.5)
+    km_s2 = sim.kmeans_centroids(emb, k=8, n_iter=3, sample=0.5)
+    r1 = sorted((r["cell_id"], tuple(r["centroid"])) for r in km_s1.collect())
+    r2 = sorted((r["cell_id"], tuple(r["centroid"])) for r in km_s2.collect())
+    assert r1 == r2 and len(r1) == 8
+
+    def _sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    exact = _sets(sim.cosine_topk(emb, queries, k=K))
+
+    def _recall(df):
+        got = _sets(df)
+        return sum(
+            len(got.get(q, set()) & v) / len(v) for q, v in exact.items()
+        ) / len(exact)
+
+    km_full = sim.kmeans_centroids(emb, k=8, n_iter=3)
+    r_sampled = _recall(sim.ivf_topk(emb, queries, km_s1, k=K, nprobe=2))
+    r_full = _recall(sim.ivf_topk(emb, queries, km_full, k=K, nprobe=2))
+    assert r_sampled >= r_full - 0.3  # same ballpark, not degenerate
+    assert r_sampled > 0
