@@ -216,6 +216,61 @@ def test_sessionize_stream_timeout_emits_idle_session(spark, tmp_path):
     assert got.get((1, 2)) == (1, 4.0)
 
 
+def test_sessionize_stream_tombstone_ttl_expiry_restarts_numbering(spark, tmp_path):
+    """After tombstone_ttl_sec of event time the per-user counter state is
+    dropped (bounded state), and numbering restarts at 1 — the documented
+    trade; before the TTL the counter survives (previous test)."""
+    from datetime import datetime, timedelta
+
+    from clip_as_service_spark.streaming import incremental
+
+    ev_dir = str(tmp_path / "ev_ttl")
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    t0 = datetime(2026, 1, 1, 10, 0, 0)
+
+    def _ts(sec):
+        return t0 + timedelta(seconds=sec)
+
+    day = 86400
+    b1 = [(1, _ts(0), 1, 1.0)]                      # user 1 session 1
+    b2 = [(2, _ts(1 * day), 2, 5.0)]                # wm → 1d
+    b3 = [(3, _ts(3 * day), 2, 5.0)]                # wm 1d fires session timeout → tombstone (ttl to ~1.02d)
+    b3b = [(9, _ts(3 * day + 1), 2, 5.0)]           # wm 3d > ttl → tombstone dropped (user 1 quiet)
+    b4 = [(4, _ts(4 * day), 1, 7.0)]                # user 1 returns: restarts at 1
+    b5 = [(5, _ts(8 * day), 2, 5.0)]                # close user 1's new session
+    for chunk in (b1, b2, b3, b3b, b4, b5):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ev_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_dir)
+    )
+    out = incremental.sessionize_stream(
+        stream, gap_sec=1800, watermark_delay="0 seconds",
+        tombstone_ttl_sec=day,  # short TTL so the fixture can cross it
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ttl_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    u1 = [
+        (r["session_id"], r["n_events"], r["value_sum"])
+        for r in spark.sql(
+            "select * from ttl_sessions where user_id = 1 order by session_id"
+        ).collect()
+    ]
+    # both of user 1's sessions emitted as session_id 1 — numbering restarted
+    # AFTER the tombstone TTL elapsed (values distinguish them)
+    assert (1, 1, 1.0) in u1 and (1, 1, 7.0) in u1
+
+
 def test_sessionize_stream_out_of_order_fails_fast(spark, tmp_path):
     """A cross-batch event-time regression (inside the watermark tolerance)
     must raise the ordered-ingest contract error, not mis-sessionize."""
