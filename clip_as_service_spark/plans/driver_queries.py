@@ -582,6 +582,60 @@ FROM (SELECT doc_id, t, unnest(range(CAST(floor((len(t)-1)/10) AS BIGINT) + 1)) 
 """
 
 
+def q_search_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Result presentation: for each query's best document, an 80-char
+    snippet centered on the FIRST occurrence of any query term (min
+    position over matching terms — deterministic). The gather-by-id +
+    substring shape of a search results page; J1/S6 composed with the
+    ranker."""
+    top1 = q_bm25_topk(spark, sf_dir).filter(F.col("rank") == 1).select(
+        "query_id", "doc_id"
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    qt = _queries_df(spark).select(
+        "query_id", F.explode(F.split("qtext", " ")).alias("term")
+    ).distinct()
+    hit = (
+        top1.join(docs, "doc_id")
+        .join(qt, "query_id")
+        .withColumn("pos", F.expr("locate(term, text)"))
+        .filter(F.col("pos") > 0)
+        .groupBy("query_id", "doc_id", "text")
+        .agg(F.min("pos").alias("pos"))
+    )
+    return hit.select(
+        "query_id",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("pos").cast("int").alias("pos"),
+        F.expr(
+            "substring(text, CAST(greatest(1, pos - 40) AS INT), 80)"
+        ).alias("snippet"),
+    )
+
+
+SQL_SEARCH_SNIPPETS = f"""
+{_SQL_BM25_SCORES}
+, ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 9) DESC, doc_id) AS rank
+  FROM scored),
+top1 AS (SELECT query_id, doc_id FROM ranked WHERE rank = 1),
+qts AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term
+       FROM {_queries_values_sql()}),
+hit AS (
+  SELECT t.query_id, t.doc_id, d.text, min(strpos(d.text, q.term)) AS pos
+  FROM top1 t
+  JOIN documents d ON t.doc_id = d.doc_id
+  JOIN qts q ON t.query_id = q.query_id
+  WHERE strpos(d.text, q.term) > 0
+  GROUP BY t.query_id, t.doc_id, d.text)
+SELECT query_id, CAST(doc_id AS BIGINT) AS doc_id, CAST(pos AS INT) AS pos,
+       substr(text, CAST(greatest(1, pos - 40) AS INT), 80) AS snippet
+FROM hit
+"""
+
+
 PHRASES: list[tuple[int, str]] = [(0, "hash join"), (1, "spark window agg")]
 
 
@@ -1566,6 +1620,7 @@ REGISTRY: dict[str, tuple] = {
     "explode_chunks": (q_explode_chunks, SQL_EXPLODE_CHUNKS),
     "set_ops_terms": (q_set_ops_terms, SQL_SET_OPS_TERMS),
     "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
+    "search_snippets": (q_search_snippets, SQL_SEARCH_SNIPPETS),
 }
 
 
