@@ -130,8 +130,20 @@ def candidate_intersections(sh: DataFrame, cand: DataFrame) -> DataFrame:
     on (id, shingle) — bounded by the candidate set, NOT by Σ df² (a single
     boilerplate shingle shared by 10⁶ docs contributes 10⁶ rows here, not
     5·10¹¹ self-join rows). Candidate pairs with an empty intersection drop
-    out (they could never pass a positive Jaccard threshold)."""
-    cand = cand.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+    out (they could never pass a positive Jaccard threshold).
+
+    Caller-supplied pairs are NORMALIZED to the documented (id_a < id_b)
+    orientation first (least/greatest + self-pair drop): a pair handed in as
+    (b, a) would otherwise be scored and emitted reversed, breaking
+    dedup_survivors' left-anti join on id_b."""
+    cand = (
+        cand.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))

@@ -92,9 +92,13 @@ def build_index(
     positions=True additionally persists a term-sharded positional table
     (phrase.build_positions_index) enabling indexed phrase queries; it adds
     a second tokenize pass over the pages (positions don't survive the tf
-    aggregation of stage 1), so it's opt-in. With doc_id_method='dense' the
-    extra pass re-derives ids — use 'hash' or 'dense_sorted' (persisted)
-    when the source plan isn't deterministic across scans."""
+    aggregation of stage 1), so it's opt-in. When both stages run in one
+    call the id'd pages are persisted (StorageLevel DISK_ONLY) across the
+    two jobs so a non-deterministic source plan cannot hand the positional
+    table different doc_ids than the postings got; on RESUME (postings exist
+    but positions don't) ids must be re-derivable, so doc_id_method='dense'
+    raises — use 'hash' or 'dense_sorted'. A post-build cross-check asserts
+    the positional table's (n_docs, max_doc_id) equal the stats stage's."""
     store = IndexStorage(out_dir)
     if not store.has_meta():
         store.write_meta(
@@ -144,6 +148,14 @@ def build_index(
         with_ids = tok.assign_doc_ids(
             pruned, method=meta["doc_id_method"], counts_out=id_counts
         )
+        if positions or meta.get("positions"):
+            # the positional stage re-reads with_ids as a SECOND physical
+            # job; persist so both jobs see one id assignment even when the
+            # source scan is non-deterministic (DISK_ONLY: the id'd corpus
+            # can exceed executor memory; a local spill is the cheap option)
+            from pyspark import StorageLevel
+
+            with_ids = with_ids.persist(StorageLevel.DISK_ONLY)
         postings = tok.build_postings(
             with_ids,
             text_col=text_col,
@@ -166,8 +178,17 @@ def build_index(
     if meta.get("positions") and not store.exists("positions"):
         t0 = time.perf_counter()
         if with_ids is None:
-            # resume path: re-derive ids from pages (deterministic for
-            # hash/dense_sorted; see the docstring hazard note for 'dense')
+            # resume path: ids must be RE-DERIVED from pages. 'dense' ids
+            # depend on the physical scan order of the original postings
+            # job, which no longer exists — a silent mismatch would give the
+            # positional table doc_ids that disagree with the postings
+            if meta["doc_id_method"] == "dense":
+                raise ValueError(
+                    "cannot resume a positions build with doc_id_method="
+                    "'dense': the postings' id assignment is scan-order-"
+                    "dependent and unrecoverable. Rebuild with 'hash' or "
+                    "'dense_sorted' (content-deterministic)."
+                )
             with_ids = tok.assign_doc_ids(
                 pages.select("url", F.col(text_col)),
                 method=meta["doc_id_method"],
@@ -178,6 +199,8 @@ def build_index(
             spark, with_ids, store, n_shards, text_col=text_col
         )
         _log(spark, store, "positions", t0)
+    if with_ids is not None and hasattr(with_ids, "unpersist"):
+        with_ids.unpersist()
 
     postings = store.read(spark, "postings")
 
@@ -218,6 +241,42 @@ def build_index(
                 "deterministic across the id-assignment double scan — "
                 "persist the input or use doc_id_method='hash'."
             )
+    if meta.get("positions") and not meta.get("positions_checked") and n_docs:
+        # cross-check the positional table's id space against the postings'
+        # (stage 2's triple invariant only sees the postings scan): a
+        # doc-count or max-id disagreement means the two tokenize passes saw
+        # different id assignments and every phrase result would be garbage.
+        # Compare against NON-EMPTY docs (term IS NOT NULL): zero-token docs
+        # carry a sentinel postings row but legitimately have no positions.
+        pos_row = (
+            store.read(spark, "positions")
+            .agg(
+                F.count_distinct("doc_id").alias("n"),
+                F.max("doc_id").alias("mx"),
+            )
+            .collect()[0]
+        )
+        ne_row = (
+            postings.filter(F.col("term").isNotNull())
+            .agg(
+                F.count_distinct("doc_id").alias("n"),
+                F.max("doc_id").alias("mx"),
+            )
+            .collect()[0]
+        )
+        if int(pos_row["n"] or 0) != int(ne_row["n"] or 0) or int(
+            pos_row["mx"] or 0
+        ) != int(ne_row["mx"] or 0):
+            raise AssertionError(
+                "positional table doc_ids disagree with postings: positions "
+                f"has {int(pos_row['n'] or 0)} docs (max id "
+                f"{int(pos_row['mx'] or 0)}) vs postings' non-empty "
+                f"{int(ne_row['n'] or 0)} (max id {int(ne_row['mx'] or 0)}). "
+                "The two tokenize passes saw different id assignments — "
+                "rebuild with a content-deterministic doc_id_method ('hash')."
+            )
+        meta["positions_checked"] = True
+        store.write_meta(meta)
     if "n_docs" not in meta:
         # denormalize corpus stats into _meta.json: the query driver then
         # needs NO stats read (single-job interactive search)

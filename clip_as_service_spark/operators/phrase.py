@@ -91,29 +91,61 @@ def phrase_search_indexed(
     if not terms:
         return spark.createDataFrame([], "id long, start_pos int")
     shards = sorted({term_shard(t, meta["n_shards"]) for t in terms})
+    # rarest-term-first planning: pull df for just the phrase terms from the
+    # term dictionary (|phrase| rows collected; the termdf scan prunes by
+    # the term predicate's row-group stats). Word-mode only — a BPE index's
+    # termdf keys are BPE ids, while positions always store word tokens.
+    term_df: dict[str, int] = {}
+    if store.exists("termdf") and meta.get("term_mode", "word") == "word":
+        term_df = {
+            r["term"]: int(r["df"])
+            for r in store.read(spark, "termdf")
+            .where(F.col("term").isin(sorted(set(terms))))
+            .select("term", "df")
+            .collect()
+        }
     pos = (
         store.read(spark, "positions")
         .where(F.col("shard").isin(shards) & F.col("term").isin(sorted(set(terms))))
         .select(F.col("doc_id").alias("id"), "pos", "term")
     )
-    out = phrase_positions(pos, terms)
+    out = phrase_positions(pos, terms, term_df=term_df)
     # deterministic truncation (same order as IndexReader.phrase) — a bare
     # limit on an unordered plan returns an arbitrary, plan-dependent subset
     return out.orderBy("id", "start_pos").limit(k) if k is not None else out
 
 
-def phrase_positions(positions: DataFrame, phrase_terms: list[str]) -> DataFrame:
+def phrase_positions(
+    positions: DataFrame,
+    phrase_terms: list[str],
+    term_df: dict[str, int] | None = None,
+) -> DataFrame:
     """→ (id, start_pos) one row per exact occurrence of the token sequence.
 
-    Empty phrase → empty result (validation short-circuit, P5)."""
+    Empty phrase → empty result (validation short-circuit, P5).
+
+    RAREST-TERM-FIRST planning: when ``term_df`` (term → document frequency)
+    is given, joins run in ascending-df order — term i contributes
+    (id, pos−i) regardless of join order, so the intersection is
+    order-independent but the INTERMEDIATE size is bounded by the rarest
+    term's postings instead of the head term's ("the quick zyzzyva" starts
+    from zyzzyva's list, not `the`'s). A term absent from term_df sorts
+    last (treated as head). Correctness note: a negative aligned start from
+    a non-first rare term cannot survive — term 0 joins with shift 0, and
+    its positions are all ≥ 0."""
     if not phrase_terms:
         spark = positions.sparkSession
         return spark.createDataFrame([], "id long, start_pos int")
-    cur = positions.filter(F.col("term") == phrase_terms[0]).select(
-        "id", F.col("pos").alias("start_pos")
+    order = list(range(len(phrase_terms)))
+    if term_df:
+        big = float("inf")
+        order.sort(key=lambda i: (term_df.get(phrase_terms[i], big), i))
+    i0 = order[0]
+    cur = positions.filter(F.col("term") == phrase_terms[i0]).select(
+        "id", (F.col("pos") - i0).alias("start_pos")
     )
-    for i, term in enumerate(phrase_terms[1:], start=1):
-        nxt = positions.filter(F.col("term") == term).select(
+    for i in order[1:]:
+        nxt = positions.filter(F.col("term") == phrase_terms[i]).select(
             "id", (F.col("pos") - i).alias("start_pos")
         )
         cur = cur.join(nxt, ["id", "start_pos"])

@@ -462,19 +462,34 @@ class IndexReader:
                 self._raw_sizes[t] = nbytes
                 self._raw_bytes += nbytes
             # evict FIFO down to budget — but never a term of the CURRENT
-            # query (its rows are read by _decoded_term right after this)
-            protect = set(terms)
-            for key in list(self._term_rows_cache):
-                if self._raw_bytes <= self.RAW_CACHE_MAX_BYTES:
-                    break
-                if key in protect:
-                    continue
-                del self._term_rows_cache[key]
-                self._raw_bytes -= self._raw_sizes.pop(key)
+            # query (its rows are read by _decoded_term right after this);
+            # search() re-trims unprotected at query end so a protected
+            # over-budget entry doesn't linger past its query
+            self._trim_raw_cache(protect=set(terms))
         out = []
         for t in terms:
             out.extend(self._term_rows_cache.get(t, []))
         return out
+
+    def _trim_raw_cache(self, protect: set = frozenset()) -> None:
+        """Bring the raw cache within budget. Entries whose size ALONE
+        exceeds the budget are dropped first (FIFO trimming would otherwise
+        empty the whole cache around them and still stay over budget — the
+        one-Zipf-head-term pathology), then FIFO down to the budget."""
+        for key in [
+            k
+            for k, s in self._raw_sizes.items()
+            if s > self.RAW_CACHE_MAX_BYTES and k not in protect
+        ]:
+            del self._term_rows_cache[key]
+            self._raw_bytes -= self._raw_sizes.pop(key)
+        for key in list(self._term_rows_cache):
+            if self._raw_bytes <= self.RAW_CACHE_MAX_BYTES:
+                break
+            if key in protect:
+                continue
+            del self._term_rows_cache[key]
+            self._raw_bytes -= self._raw_sizes.pop(key)
 
     def _decoded_term(self, t: str) -> tuple:
         """(term, docs, idf·w) — full decode of one term's blocks, memoized.
@@ -488,6 +503,11 @@ class IndexReader:
             docs, w = _decode_block_group(blks, self._bm25)
             hit = (t, docs, float(blks[0].idf) * w)
             nbytes = int(docs.nbytes + hit[2].nbytes) + 64
+            if nbytes > self.DECODED_CACHE_MAX_BYTES:
+                # a single over-budget entry can never fit: caching it would
+                # empty the cache AND leave it over budget until the next
+                # insert — return uncached (callers hold the reference)
+                return hit
             while (
                 self._decoded_bytes + nbytes > self.DECODED_CACHE_MAX_BYTES
                 and self._decoded_cache
@@ -568,6 +588,9 @@ class IndexReader:
         entry["score_ms"] = 1000 * (t_score - t_fetch)
         entry["total_ms"] = 1000 * (t_score - t0)
         self._log_query(entry)
+        # end-of-query trim with no protect set: evicts any current-query
+        # entry whose size alone exceeds the budget (kept in-flight above)
+        self._trim_raw_cache()
         return out
 
     def _log_query(self, entry: dict) -> None:
@@ -615,11 +638,25 @@ class IndexReader:
             a["p"] = pos_arr[mask] - shift
             return np.unique(a)
 
+        # rarest-term-first: the running intersection is bounded by the
+        # smallest key set touched so far, so start from the term with the
+        # fewest fetched positions instead of phrase order (one bulk
+        # np.unique count; the fetch above already read every term's rows)
+        uniq, counts = np.unique(term_arr, return_counts=True)
+        n_rows = dict(zip(uniq.tolist(), counts.tolist()))
+        order = sorted(
+            range(len(terms)), key=lambda i: (n_rows.get(terms[i], 0), i)
+        )
         cur: np.ndarray | None = None
-        for i, t in enumerate(terms):
+        for step, i in enumerate(order):
+            t = terms[i]
             m = (term_arr == t) & (pos_arr >= i)
             keys = _keys(m, i)
-            cur = keys if i == 0 else np.intersect1d(cur, keys, assume_unique=True)
+            cur = (
+                keys
+                if step == 0
+                else np.intersect1d(cur, keys, assume_unique=True)
+            )
             if cur.size == 0:
                 return []
         out = sorted((int(r["d"]), int(r["p"])) for r in cur)

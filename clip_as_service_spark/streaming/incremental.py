@@ -218,10 +218,20 @@ def sessionize_stream(
         timeout_ms = (int(ts[-1]) + gap_sec) * 1000 + 1
         if state.getCurrentWatermarkMs() >= timeout_ms:
             # another key already pushed the watermark past this session's
-            # close: it is closed on arrival — emit, keep no state
-            if state.exists:
-                state.remove()
+            # close: it is closed on arrival — emit it, and leave the SAME
+            # tombstone the hasTimedOut path leaves. This branch is reachable
+            # for a session that was NOT dropped as late (Spark filters rows
+            # with the PREVIOUS watermark while getCurrentWatermarkMs returns
+            # the eviction watermark, which can run ahead by one batch), so
+            # removing state here would restart a returning user at session 1
+            # and duplicate (user_id, session_id) keys in the append stream.
             out.append((user_id, open_state[0], open_state[2], open_state[3]))
+            tomb_to = (int(ts[-1]) + gap_sec + tombstone_ttl_sec) * 1000
+            if tomb_to > state.getCurrentWatermarkMs():
+                state.update((open_state[0], int(ts[-1]), 0, 0.0))
+                state.setTimeoutTimestamp(tomb_to)
+            elif state.exists:
+                state.remove()
         else:
             state.update(open_state)
             state.setTimeoutTimestamp(timeout_ms)

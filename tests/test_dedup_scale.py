@@ -86,6 +86,32 @@ def test_candidate_jaccard_equals_unbounded_filtered(spark):
     assert {(r["id_a"], r["id_b"], r["jaccard"]) for r in bounded} == exp
 
 
+def test_candidate_orientation_normalized(spark):
+    """Caller-supplied pairs in the WRONG orientation (id_a > id_b), as
+    self-pairs, or duplicated both ways must normalize to one (id_a < id_b)
+    row — the output convention dedup_survivors' anti-join on id_b needs."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "the quick brown fox jumps over the lazy dog today"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    messy = spark.createDataFrame(
+        [(1, 0), (0, 1), (2, 0), (1, 1)],  # reversed, dup-both-ways, self
+        "id_a long, id_b long",
+    )
+    clean = spark.createDataFrame([(0, 1), (0, 2)], "id_a long, id_b long")
+    got_m = dedup.ngram_jaccard_pairs(
+        df, "id", "text", k=3, threshold=0.1, candidates=messy
+    ).collect()
+    got_c = dedup.ngram_jaccard_pairs(
+        df, "id", "text", k=3, threshold=0.1, candidates=clean
+    ).collect()
+    as_set = lambda rs: {(r["id_a"], r["id_b"], r["jaccard"]) for r in rs}
+    assert as_set(got_m) == as_set(got_c)
+    assert all(r["id_a"] < r["id_b"] for r in got_m)
+
+
 def test_connected_components_transitive(spark):
     """Chained pairs must cluster transitively to the min id; nodes with no
     pair stay singleton clusters; convergence must beat max_iter on a chain

@@ -166,6 +166,27 @@ def test_reader_caches_byte_bounded(spark, index_dir, oracle):
             assert sg == pytest.approx(se, rel=1e-12)
 
 
+def test_reader_oversize_entry_never_sticks(spark, index_dir, oracle):
+    """An entry whose size ALONE exceeds the cache budget must not be left
+    resident after its query (r03 advisory: the while-loop emptied the cache
+    then inserted it anyway, pinning the cache over budget). With a 1-byte
+    budget EVERY entry is oversize: results stay exact, and both caches are
+    empty between queries."""
+    reader = wand.IndexReader(
+        None, index_dir, engine="pyarrow",
+        raw_cache_bytes=1, decoded_cache_bytes=1,
+    )
+    for q in fixtures.make_queries()[:10]:
+        got = reader.search(q["text"], k=K)
+        expected = oracle.topk(q["text"], k=K)
+        assert [(r, d) for r, d, _ in got] == [(r, d) for r, d, _ in expected]
+        assert reader._decoded_bytes == 0 and not reader._decoded_cache
+        # zero-byte entries (terms with no postings) may stay — they cost
+        # nothing; everything with actual payload must be gone
+        assert reader._raw_bytes == 0
+        assert all(not rows for rows in reader._term_rows_cache.values())
+
+
 def test_reader_rejects_v1_index(spark, index_dir, tmp_path):
     """A v1 (raw-weight payload) index must be rejected loudly, not decoded
     into garbage scores."""

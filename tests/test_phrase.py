@@ -41,6 +41,39 @@ def test_phrase_empty_and_oov(spark):
     assert _matches(spark, rows, ["zzz"]) == set()
 
 
+def test_phrase_rarest_term_first_ordering(spark):
+    """With a term_df map the join tree must be left-deep starting from the
+    RAREST term (the intermediate is bounded by its postings, not the head
+    term's), while results stay identical to phrase-order joins — including
+    when the rarest term is not term 0 (negative aligned starts can't
+    survive the term-0 join)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "aa_head bb_mid cc_rare runs"),
+        (2, "aa_head aa_head aa_head bb_mid cc_rare"),
+        (3, "aa_head bb_mid brown fox"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    pos = phrase.token_positions(df, "id", "text")
+    terms = ["aa_head", "bb_mid", "cc_rare"]
+    term_df = {"aa_head": 10, "bb_mid": 3, "cc_rare": 2}
+
+    plain = {
+        (r["id"], r["start_pos"])
+        for r in phrase.phrase_positions(pos, terms).collect()
+    }
+    ordered = phrase.phrase_positions(pos, terms, term_df=term_df)
+    got = {(r["id"], r["start_pos"]) for r in ordered.collect()}
+    assert got == plain == {(1, 0), (2, 2)}
+
+    # plan inspection: in the left-deep join tree the deepest-left leaf
+    # prints FIRST, so the rarest term's filter literal must appear before
+    # the head term's in the optimized plan
+    plan = ordered._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.index("cc_rare") < plan.index("bb_mid") < plan.index("aa_head")
+
+
 def test_indexed_phrase_search_matches_token_oracle(spark, tmp_path):
     """build_index(positions=True) persists the term-sharded positional
     table; phrase_search_indexed must find exactly the occurrences a pure
