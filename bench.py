@@ -188,6 +188,52 @@ def main() -> None:
         for a, b in zip(ids[iu[0]][hit], ids[iu[1]][hit])
     }
 
+    # stored-vs-recomputed ANN query time: the persisted index (ann_index)
+    # turns the per-query O(N) re-bucket / O(N·C) re-assignment into a
+    # pruned read — measure both on the same probes (build time reported
+    # separately; it amortizes over every query the index ever serves)
+    import shutil as _sh
+
+    from clip_as_service_spark.operators import ann_index as annx
+
+    ann_dir = "/tmp/bench_ann"
+    _sh.rmtree(ann_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    annx.build_ann_index(
+        spark, emb, ann_dir, dim=dq.RH_DIM, rh_n_bits=8, rh_n_tables=8,
+        ivf_centroids=sim.kmeans_centroids(emb, k=16, n_iter=5),
+    )
+    ann_build_sec = round(time.perf_counter() - t0, 3)
+
+    def _timed(fn) -> float:
+        t1 = time.perf_counter()
+        fn().count()
+        return round(time.perf_counter() - t1, 3)
+
+    ann_stored = {
+        "build_sec": ann_build_sec,
+        "rh_recomputed_sec": _timed(
+            lambda: sim.rh_bucketed_topk(
+                emb, q_ann, k=10, n_bits=8, dim=dq.RH_DIM, n_tables=8
+            )
+        ),
+        "rh_stored_sec": _timed(
+            lambda: annx.rh_topk_stored(spark, ann_dir, q_ann, k=10)
+        ),
+        # fair compare: recompute uses the SAME stored quantizer — the
+        # timed delta is re-assignment vs pruned read, not training
+        "ivf_recomputed_sec": _timed(
+            lambda: sim.ivf_topk(
+                emb, q_ann,
+                annx.IndexStorage(ann_dir).read(spark, "ivf_centroids"),
+                k=10, nprobe=2,
+            )
+        ),
+        "ivf_stored_sec": _timed(
+            lambda: annx.ivf_topk_stored(spark, ann_dir, q_ann, k=10, nprobe=2)
+        ),
+    }
+
     def _pair_set(df) -> set:
         return {(r["id_a"], r["id_b"]) for r in df.select("id_a", "id_b").collect()}
 
@@ -219,6 +265,7 @@ def main() -> None:
                 "n_docs": n_docs,
                 "cpus": int(cpus),
                 "ann_recall_at_10": ann_recall,
+                "ann_stored_vs_recomputed": ann_stored,
                 "pair_coverage": pair_coverage,
                 "query_phase_profile": query_profile,
                 "batch_search_auto_sec": batch_auto_sec,

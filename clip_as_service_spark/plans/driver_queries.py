@@ -1169,19 +1169,45 @@ RH_DIM = 64
 RH_SEED = 42
 _RH_SIGN_DP = 9  # round dot before sign in BOTH engines (boundary stability)
 
+_ANN_STORE_CACHE: dict[str, str] = {}
+
+
+def _ann_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build once per process per sf_dir the PERSISTED ANN index the gate
+    queries probe. The gate thereby exercises the at-rest path — partition-
+    pruned bucket/cell reads, the engine's real 100-TB shape (VERDICT r03
+    #1) — while the oracle SQL is unchanged: the stored path's results are
+    identical to the recompute operators' (pinned in tests/test_ann_index)."""
+    if sf_dir not in _ANN_STORE_CACHE:
+        import tempfile
+
+        from ..operators import ann_index as _ann
+
+        out = tempfile.mkdtemp(prefix="annidx_") + "/ann"
+        _ann.build_ann_index(
+            spark,
+            _t(spark, sf_dir, "embeddings"),
+            out,
+            dim=RH_DIM,
+            rh_n_bits=RH_BITS,
+            rh_n_tables=1,
+            rh_seed=RH_SEED,
+            sign_round_dp=_RH_SIGN_DP,
+            ivf_centroids=_ivf_centroids(spark, sf_dir),
+        )
+        _ANN_STORE_CACHE[sf_dir] = out
+    return _ANN_STORE_CACHE[sf_dir]
+
 
 def q_ann_rh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: random-hyperplane LSH (16 bits → 65536 near-uniform
-    buckets) with 1-bit-flip multi-probe; exact cosine within candidates."""
-    emb = _t(spark, sf_dir, "embeddings")
-    out = _sim.rh_bucketed_topk(
-        emb,
-        _ann_queries(spark, sf_dir),
-        k=ANN_K,
-        n_bits=RH_BITS,
-        dim=RH_DIM,
-        seed=RH_SEED,
-        sign_round_dp=_RH_SIGN_DP,
+    buckets) with 1-bit-flip multi-probe; exact cosine within candidates —
+    served from the PERSISTED rh_buckets table (pruned scan), not a corpus
+    re-bucketing."""
+    from ..operators import ann_index as _ann
+
+    out = _ann.rh_topk_stored(
+        spark, _ann_store(spark, sf_dir), _ann_queries(spark, sf_dir), k=ANN_K
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc(F.round(F.col("cosine"), 9)), F.asc("vec_id")
@@ -1307,12 +1333,15 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: label-centroid coarse quantizer, nprobe-cell probe, exact
-    re-rank within probed cells (operators/similarity.ivf_topk)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    out = _sim.ivf_topk(
-        emb,
+    re-rank within probed cells — served from the PERSISTED cell-partitioned
+    ivf_cells table (directory-pruned scan), not a per-query N×C
+    re-assignment."""
+    from ..operators import ann_index as _ann
+
+    out = _ann.ivf_topk_stored(
+        spark,
+        _ann_store(spark, sf_dir),
         _ann_queries(spark, sf_dir),
-        _ivf_centroids(spark, sf_dir),
         k=ANN_K,
         nprobe=IVF_NPROBE,
     )
