@@ -381,6 +381,7 @@ def connected_components(
     pairs: DataFrame,
     nodes: DataFrame | None = None,
     max_iter: int = 30,
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """→ (id, cluster_id): transitive dedup clusters over verified pairs —
     cluster_id = min doc id reachable through the pair graph (so the cluster
@@ -398,7 +399,13 @@ def connected_components(
     label moved.
 
     `pairs`: (id_a, id_b). `nodes`: optional (id) universe — ids absent
-    from any pair become singleton clusters (cluster_id = id)."""
+    from any pair become singleton clusters (cluster_id = id).
+
+    ``algorithm``: 'minlabel' (default, O(diameter) rounds — right for
+    shallow dup clusters) or 'star' — the alternating large-star/small-star
+    scheme (Kiveris et al. 2014, public algorithm), O(log n)-ish rounds
+    regardless of diameter: the scale-safe choice for adversarial chain
+    graphs. Both produce identical (id, cluster_id) output."""
     edges = pairs.select("id_a", "id_b")
     und = edges.union(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
@@ -407,6 +414,10 @@ def connected_components(
         nodes = und.select(F.col("id_a").alias("id")).distinct()
     else:
         nodes = nodes.select("id").distinct()
+    if algorithm == "star":
+        return _cc_star(edges, nodes, max_iter)
+    if algorithm != "minlabel":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     # convergence metric in DECIMAL(38): Σ of 10^12 64-bit ids overflows a
     # long (ANSI mode throws); labels only ever decrease, so an unchanged
     # Σ ⇔ fixpoint
@@ -441,6 +452,81 @@ def connected_components(
             "large-star/small-star operators (O(log n) rounds)"
         )
     return labels.select("id", F.col("cc").alias("cluster_id"))
+
+
+def _cc_star(edges: DataFrame, nodes: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al. 2014): converges in O(log n)-ish alternation rounds independent of
+    graph DIAMETER — the hole min-label propagation leaves open on
+    adversarial chain graphs (O(diameter) rounds there).
+
+    One round = large-star then small-star over the working edge set:
+      large-star: every node u links its strictly-larger neighbors to
+                  m(u) = min(N(u) ∪ {u})
+      small-star: orient every edge high→low; every node u links its
+                  (smaller) neighbors and itself to its min neighbor
+    Each op is a groupBy-min + join + distinct — all hash-partitioned on
+    node id, no windows, no Python. Convergence = the oriented edge set is
+    UNCHANGED (exceptAll probe; sound because a stable set is exactly the
+    algorithm's fixpoint, a star forest whose centers are component
+    minima). Lineage is cut per round (localCheckpoint — a durable
+    checkpoint dir on a real cluster). Skew note: the final rounds route a
+    component's nodes through its minimum — the same hot-key shape as any
+    CC output; the per-round distinct bounds it to one row per (node,
+    label)."""
+    cur = (
+        edges.filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.greatest("id_a", "id_b").alias("src"),
+            F.least("id_a", "id_b").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # -- large-star ----------------------------------------------------
+        sym = cur.union(
+            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+        m = F.least(F.col("src"), F.col("mn"))
+        ls = (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), m.alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # -- small-star (input already oriented src > dst by construction) --
+        mins2 = ls.groupBy("src").agg(F.min("dst").alias("mn"))
+        ss = (
+            ls.join(mins2, "src")
+            .filter(F.col("dst") != F.col("mn"))
+            .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+            .union(mins2.select("src", F.col("mn").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = (
+            ss.exceptAll(cur).limit(1).count() > 0
+            or cur.exceptAll(ss).limit(1).count() > 0
+        )
+        cur = ss
+        if not changed:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components(algorithm='star') did not converge in "
+            f"{max_iter} alternation rounds — pathological for an O(log n) "
+            "scheme; inspect the pair graph"
+        )
+    # fixpoint is a star forest: (src → component min); roots + singletons
+    # get their own id
+    labels = cur.select(F.col("src").alias("id"), F.col("dst").alias("cluster_id"))
+    return nodes.join(labels, "id", "left").select(
+        "id", F.coalesce("cluster_id", "id").alias("cluster_id")
+    )
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -115,6 +115,126 @@ def phrase_search_indexed(
     return out.orderBy("id", "start_pos").limit(k) if k is not None else out
 
 
+def snippet_hits(
+    results: DataFrame,
+    query_terms: DataFrame,
+    positions: DataFrame,
+) -> DataFrame:
+    """→ (query_id, doc_id, pos): earliest matching-term token position per
+    result row — the position source for snippet windows.
+
+    ``results``: (query_id, doc_id) rows (e.g. a top-k result page);
+    ``query_terms``: (query_id, term); ``positions``: (id, pos, term) —
+    storage-agnostic like phrase_positions: feed token_positions for ad-hoc
+    tables or the PERSISTED positions table for indexed corpora (where the
+    per-term filters prune shards/row-groups). Join work is keyed on
+    (doc_id, term) and bounded by the result page × query terms — documents
+    outside the page are never touched. Result docs containing none of the
+    query's terms drop out (inner join — a BM25 hit always contains ≥1
+    term, but callers merging external result pages should left-join if
+    they need row preservation)."""
+    pos = positions.select(
+        F.col("id").alias("doc_id"), "pos", "term"
+    )
+    return (
+        results.select("query_id", "doc_id")
+        .join(query_terms, "query_id")
+        .join(pos, ["doc_id", "term"])
+        .groupBy("query_id", "doc_id")
+        .agg(F.min("pos").alias("pos"))
+    )
+
+
+def attach_snippets(
+    hits: DataFrame,
+    documents: DataFrame,
+    before: int = 3,
+    width: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ hits + ``snippet``: a ``width``-token window starting ``before``
+    tokens ahead of each hit position. The text column is read ONCE, for
+    exactly the hit docs: hits (a result page — small by construction) are
+    broadcast against the documents table, so a k=10 page over 10^6 queries
+    joins 10^7 doc rows out of the corpus, never rescanning documents per
+    term. Tokens split on single space (the documents-table convention —
+    the indexed twin re-tokenizes with the index vocabulary instead)."""
+    docs = documents.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    )
+    start = F.greatest(F.col("pos") - before, F.lit(0))
+    return (
+        docs.join(F.broadcast(hits), "doc_id")
+        .withColumn(
+            "snippet",
+            F.array_join(
+                F.slice(F.split(F.col("_text"), " "), start + 1, width), " "
+            ),
+        )
+        .drop("_text")
+    )
+
+
+def snippets_indexed(
+    spark,
+    index_dir: str,
+    results: DataFrame,
+    queries: DataFrame,
+    documents: DataFrame,
+    before: int = 3,
+    width: int = 8,
+    q_text_col: str = "qtext",
+) -> DataFrame:
+    """→ (query_id, doc_id, pos, snippet) for a result page, reading term
+    positions from the PERSISTED positions table: the scan prunes to the
+    union of all queries' terms (shard dirs + term row groups), and the
+    text column is windowed once via attach_snippets — a results page never
+    re-scans documents per term. Tokenization matches the index vocabulary
+    (tokenize_words), including for the window slicing."""
+    from ..functions.hashing import term_shard
+    from ..functions.text import tokenize_udf
+    from ..sources.tables import IndexStorage
+    from ..textnorm import tokenize_words
+
+    store = IndexStorage(index_dir)
+    meta = store.read_meta()
+    q_rows = queries.select("query_id", q_text_col).collect()
+    qt = [
+        (int(r["query_id"]), t)
+        for r in q_rows
+        for t in sorted(set(tokenize_words(r[q_text_col])))
+    ]
+    if not qt:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, pos int, snippet string"
+        )
+    terms = sorted({t for _, t in qt})
+    shards = sorted({term_shard(t, meta["n_shards"]) for t in terms})
+    pos = (
+        store.read(spark, "positions")
+        .where(F.col("shard").isin(shards) & F.col("term").isin(terms))
+        .select(F.col("doc_id").alias("id"), "pos", "term")
+    )
+    query_terms = spark.createDataFrame(qt, "query_id long, term string")
+    hits = snippet_hits(results, query_terms, pos)
+    docs = documents.select(
+        "doc_id", tokenize_udf(F.col("text")).alias("_toks")
+    )
+    start = F.greatest(F.col("pos") - before, F.lit(0))
+    return (
+        docs.join(F.broadcast(hits), "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.array_join(F.slice("_toks", start + 1, width), " ").alias(
+                "snippet"
+            ),
+        )
+    )
+
+
 def phrase_positions(
     positions: DataFrame,
     phrase_terms: list[str],

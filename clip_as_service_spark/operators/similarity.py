@@ -249,16 +249,31 @@ def bucketed_topk(
     )
 
 
+def auto_n_bits(n_vectors: int, target_bucket: int = 256) -> int:
+    """The sizing rule for RH-LSH pair candidates: within-bucket pair work
+    is ~(N/2^n_bits)²·2^n_bits per table, so buckets must stay
+    ~target_bucket-sized as N grows → n_bits ≈ log2(N / target_bucket),
+    clamped to [1, 30] (e.g. N=10^9 with 1k-row buckets → 20 bits). Spend
+    tables (L) to buy recall back at higher n_bits."""
+    import math
+
+    if n_vectors <= 0:
+        return 1
+    return max(1, min(30, math.ceil(math.log2(max(n_vectors / target_bucket, 2)))))
+
+
 def rh_cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
-    n_bits: int = 6,
+    n_bits: int | None = None,
     n_tables: int = 8,
     dim: int = 64,
     seed: int = 42,
     sign_round_dp: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket: int = 256,
+    chosen_out: dict | None = None,
 ) -> DataFrame:
     """embedding near-dup pairs (id_a < id_b, cosine ≥ threshold) with
     RANDOM-HYPERPLANE LSH candidates — the scale path for `cosine_pairs`.
@@ -274,10 +289,19 @@ def rh_cosine_pairs(
     recall per true pair at cosine c: 1 − (1 − p^n_bits)^L, p = 1 − θ/π.
 
     Sizing at scale: within-bucket pair count ~ (N/2^n_bits)²·2^n_bits per
-    table, so n_bits must GROW with the corpus — pick
-    n_bits ≈ log2(N / target_bucket_size) (e.g. N=10^9, 1k-row buckets →
-    20 bits) and spend tables L to buy recall back; the defaults here are
-    fixture-scaled."""
+    table, so n_bits must GROW with the corpus. n_bits=None (the default)
+    APPLIES that rule: one count job sizes n_bits = auto_n_bits(N,
+    target_bucket) — a build-time dedup operator amortizes the extra scan;
+    pass an explicit n_bits to skip it (cross-engine oracles do, for a
+    deterministic plan). ``chosen_out`` (dict) receives {"n_bits", "n"} so
+    callers can log/pin the choice."""
+    if n_bits is None:
+        n = embeddings.count()
+        n_bits = auto_n_bits(n, target_bucket)
+        if chosen_out is not None:
+            chosen_out.update({"n_bits": n_bits, "n": n})
+    elif chosen_out is not None:
+        chosen_out.update({"n_bits": n_bits, "n": None})
     planes_bits = n_bits * n_tables
     tables_d = [
         F.struct(

@@ -119,6 +119,7 @@ def build_postings(
     text_col: str = "text",
     term_mode: str = "word",
     bpe_path: str | None = None,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """→ postings rows (term, doc_id, tf, dl) — SHUFFLE-FREE.
 
@@ -144,11 +145,14 @@ def build_postings(
     from ..functions.text import make_tokenize_tf_udf
 
     tf_udf = make_tokenize_tf_udf(term_mode, bpe_path)
+    # carry_cols ride through unchanged (per-doc metadata, e.g. a crawl
+    # timestamp the streaming compactor needs for latest-crawl-wins dedup)
     toks = pages_with_ids.select(
-        "doc_id", tf_udf(F.col(text_col)).alias("t")
+        "doc_id", *carry_cols, tf_udf(F.col(text_col)).alias("t")
     )
     return toks.select(
         "doc_id",
+        *carry_cols,
         F.col("t.dl").alias("dl"),
         F.explode_outer(F.arrays_zip("t.terms", "t.tfs")).alias("p"),
     ).select(
@@ -156,6 +160,7 @@ def build_postings(
         "doc_id",
         F.col("p.tfs").alias("tf"),
         "dl",
+        *carry_cols,
     )
 
 

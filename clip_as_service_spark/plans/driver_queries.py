@@ -636,6 +636,77 @@ FROM hit
 """
 
 
+SNIP_K = 3
+SNIP_BEFORE = 3
+SNIP_WIDTH = 8
+
+
+def q_search_snippets_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized results-page snippets (VERDICT r03 #5): top-SNIP_K docs
+    per query each get a SNIP_WIDTH-token window at the earliest matching
+    query term. Positions come from the token table (the persisted
+    positions table for indexed corpora — snippets_indexed is the twin);
+    the text column is windowed ONCE for the broadcast result page
+    (operators/phrase.snippet_hits + attach_snippets) — a results page
+    never re-scans documents per term."""
+    from ..operators import phrase as _ph
+
+    topk = (
+        q_bm25_topk(spark, sf_dir)
+        .filter(F.col("rank") <= SNIP_K)
+        .select("query_id", "doc_id", "rank")
+    )
+    qt = (
+        _queries_df(spark)
+        .select("query_id", F.explode(F.split("qtext", " ")).alias("term"))
+        .distinct()
+    )
+    docs = _t(spark, sf_dir, "documents")
+    pos = _ph.token_positions(docs, "doc_id", "text")
+    hits = _ph.snippet_hits(topk, qt, pos)
+    out = _ph.attach_snippets(
+        hits, docs, before=SNIP_BEFORE, width=SNIP_WIDTH
+    )
+    return out.join(F.broadcast(topk), ["query_id", "doc_id"]).select(
+        "query_id",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("pos").cast("int").alias("pos"),
+        "snippet",
+    )
+
+
+SQL_SEARCH_SNIPPETS_K = f"""
+{_SQL_BM25_SCORES}
+, ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 9) DESC, doc_id) AS rank
+  FROM scored),
+topk AS (SELECT query_id, doc_id, rank FROM ranked WHERE rank <= {SNIP_K}),
+qts AS (SELECT DISTINCT query_id, unnest(string_split(qtext, ' ')) AS term
+        FROM {_queries_values_sql()}),
+tok AS (
+  SELECT doc_id, i AS pos, t[i + 1] AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS t,
+               unnest(range(len(string_split(text, ' ')))) AS i
+        FROM documents)),
+hit AS (
+  SELECT k.query_id, k.doc_id, k.rank, min(tok.pos) AS pos
+  FROM topk k
+  JOIN qts q ON k.query_id = q.query_id
+  JOIN tok ON tok.doc_id = k.doc_id AND tok.term = q.term
+  GROUP BY k.query_id, k.doc_id, k.rank)
+SELECT h.query_id, CAST(h.doc_id AS BIGINT) AS doc_id,
+       CAST(h.rank AS INT) AS rank, CAST(h.pos AS INT) AS pos,
+       array_to_string(
+         string_split(d.text, ' ')[greatest(h.pos - {SNIP_BEFORE}, 0) + 1
+                                   : greatest(h.pos - {SNIP_BEFORE}, 0) + {SNIP_WIDTH}],
+         ' ') AS snippet
+FROM hit h JOIN documents d ON h.doc_id = d.doc_id
+"""
+
+
 PHRASES: list[tuple[int, str]] = [(0, "hash join"), (1, "spark window agg")]
 
 
@@ -1650,6 +1721,7 @@ REGISTRY: dict[str, tuple] = {
     "set_ops_terms": (q_set_ops_terms, SQL_SET_OPS_TERMS),
     "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
     "search_snippets": (q_search_snippets, SQL_SEARCH_SNIPPETS),
+    "search_snippets_k": (q_search_snippets_k, SQL_SEARCH_SNIPPETS_K),
 }
 
 

@@ -55,17 +55,29 @@ def stream_postings(
     watermark: str = "1 hour",
     term_mode: str = "word",
     bpe_path: str | None = None,
+    carry_ts: bool = False,
 ) -> DataFrame:
     """pages stream → postings rows; optional stateful URL dedup.
 
     dropDuplicates on url with a warc_ts watermark = the stream analog of
     the build's unique-doc assumption (state is bounded by the watermark).
-    term_mode must match the batch index these appends will compact into."""
+    term_mode must match the batch index these appends will compact into.
+
+    carry_ts=True rides ``warc_ts`` onto every posting row: the compactor
+    (compact_streamed_index) uses it to tombstone RE-CRAWLED urls —
+    watermarked dedup only bounds duplicates WITHIN the watermark; a url
+    re-crawled a week later is a new micro-batch's rows, and only
+    compaction-time latest-crawl-wins can resolve it."""
     s = pages_stream
     if dedup_urls:
         s = s.withWatermark("warc_ts", watermark).dropDuplicates(["url"])
     with_ids = s.withColumn("doc_id", F.xxhash64(F.col("url")))
-    return build_postings(with_ids, term_mode=term_mode, bpe_path=bpe_path)
+    return build_postings(
+        with_ids,
+        term_mode=term_mode,
+        bpe_path=bpe_path,
+        carry_cols=("warc_ts",) if carry_ts else (),
+    )
 
 
 def start_postings_stream(
@@ -75,11 +87,13 @@ def start_postings_stream(
     checkpoint_dir: str,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    carry_ts: bool = False,
 ):
     """incremental pages → append-only postings parquet. Returns the query."""
     postings = stream_postings(
         read_pages_stream(spark, input_dir, max_files_per_trigger),
         dedup_urls=False,  # file-source batches are already unique in tests
+        carry_ts=carry_ts,
     )
     writer = (
         postings.writeStream.format("parquet")
@@ -90,6 +104,74 @@ def start_postings_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_streamed_index(
+    spark: SparkSession,
+    postings_dir: str,
+    out_dir: str,
+    n_shards: int = 16,
+    salt_cutoff: int = 50_000,
+    target_sublist: int = 50_000,
+    term_mode: str = "word",
+    bpe_path: str | None = None,
+):
+    """Compact the append-only streamed postings into a FULL block index —
+    the log-structured merge this module's docstring promises: the stream
+    appends cheap narrow rows; compaction periodically rebuilds the
+    BM25-global stages (stats, idf, blocks) over everything accumulated, so
+    the streamed index CONVERGES to the batch build over the same pages
+    (bit-identical blocks — test-pinned).
+
+    Re-crawl tombstoning: when the stream carried ``warc_ts``
+    (carry_ts=True), a url crawled twice has two posting-row generations
+    under ONE doc_id (xxhash64(url)); the dedup survivor policy here is
+    latest-crawl-wins — per doc_id only rows of the max warc_ts survive
+    into the compacted index. Without the column, duplicate generations
+    are the caller's contract (as merge_indexes documents for urls).
+
+    Scale shape: one groupBy(doc_id).max join (hash-keyed, no skew — doc_id
+    is a hash) + the shared resumable stages 2-4. The output is a normal
+    IndexStorage: mergeable with batch-built partial indexes via
+    merge_indexes (both use doc_id_method='hash')."""
+    from ..functions.codec import BLOCK_SIZE
+    from ..operators.index_build import _resume_from_postings
+    from ..sources.tables import IndexStorage
+    from .. import B, K1
+
+    posts = spark.read.parquet(postings_dir)
+    if "warc_ts" in posts.columns:
+        latest = posts.groupBy("doc_id").agg(
+            F.max("warc_ts").alias("_latest_ts")
+        )
+        posts = (
+            posts.join(latest, "doc_id")
+            .filter(
+                F.col("warc_ts").eqNullSafe(F.col("_latest_ts"))
+            )
+            .drop("warc_ts", "_latest_ts")
+            .dropDuplicates(["term", "doc_id"])
+        )
+    store = IndexStorage(out_dir)
+    if not store.has_meta():
+        store.write_meta(
+            {
+                "n_shards": n_shards,
+                "block_size": BLOCK_SIZE,
+                "k1": K1,
+                "b": B,
+                "salt_cutoff": salt_cutoff,
+                "target_sublist": target_sublist,
+                "doc_id_method": "hash",
+                "term_mode": term_mode,
+                "bpe_path": bpe_path,
+                "compacted_from": postings_dir,
+                "version": 2,
+            }
+        )
+    if not store.exists("postings"):
+        store.write(posts, "postings")
+    return _resume_from_postings(spark, store)
 
 
 SESSION_OUT_SCHEMA = (

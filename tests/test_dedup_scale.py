@@ -155,6 +155,47 @@ def test_connected_components_long_chain_and_nonconvergence(spark):
         dedup.connected_components(chain, max_iter=3).collect()
 
 
+def test_cc_star_equals_minlabel(spark):
+    """algorithm='star' must produce exactly the min-label clustering on a
+    mixed graph (chains, a triangle, singletons)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 11), (5, 6), (8, 9), (9, 10), (10, 8), (2, 1)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 5, 6, 8, 9, 10, 11, 20]], "id long"
+    )
+    want = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs, nodes=nodes).collect()
+    }
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.connected_components(
+            pairs, nodes=nodes, algorithm="star"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_cc_star_chain_converges_in_log_rounds(spark):
+    """The adversarial case min-label is wrong for: a 100-link chain
+    (diameter 100) must converge within ~2·log2(n) alternation rounds —
+    max_iter=16 would raise otherwise (log2(101) ≈ 6.7)."""
+    n = 101
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["cluster_id"]
+        for r in dedup.connected_components(
+            chain, max_iter=16, algorithm="star"
+        ).collect()
+    }
+    assert set(got.values()) == {0}
+    assert len(got) == n
+
+
 def test_simhash_distinct_fp_banding_degenerate(spark):
     """50 empty-ish docs share one all-identical fingerprint: the banded
     join must see ONE fingerprint-pair row for the group (compute bound);

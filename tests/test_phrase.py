@@ -74,22 +74,35 @@ def test_phrase_rarest_term_first_ordering(spark):
     assert plan.index("cc_rare") < plan.index("bb_mid") < plan.index("aa_head")
 
 
-def test_indexed_phrase_search_matches_token_oracle(spark, tmp_path):
+import pytest
+
+
+@pytest.fixture(scope="module")
+def pos_index(spark, tmp_path_factory):
+    """80-page index with the positional table, shared by the indexed
+    phrase + snippet tests."""
+    from clip_as_service_spark import fixtures
+    from clip_as_service_spark.operators import index_build
+
+    out = str(tmp_path_factory.mktemp("idxp") / "idx_pos")
+    df = fixtures.pages_spark_df(spark, 80, partitions=4)
+    index_build.build_index(
+        spark, df, out, n_shards=4, doc_id_method="dense_sorted",
+        positions=True,
+    )
+    return out
+
+
+def test_indexed_phrase_search_matches_token_oracle(spark, pos_index):
     """build_index(positions=True) persists the term-sharded positional
     table; phrase_search_indexed must find exactly the occurrences a pure
     Python scan over tokenize_words finds (byte-identity vocabulary), and
     its scan must be pruned to the phrase terms' shards."""
     from clip_as_service_spark import fixtures
-    from clip_as_service_spark.operators import index_build
     from clip_as_service_spark.textnorm import tokenize_words
 
     pages = fixtures.make_pages(80)
-    df = fixtures.pages_spark_df(spark, 80, partitions=4)
-    out = str(tmp_path / "idx_pos")
-    index_build.build_index(
-        spark, df, out, n_shards=4, doc_id_method="dense_sorted",
-        positions=True,
-    )
+    out = pos_index
 
     # oracle: doc_id = row_number over url asc (matches dense_sorted)
     ordered = sorted(pages, key=lambda p: p["url"])
@@ -122,3 +135,63 @@ def test_indexed_phrase_search_matches_token_oracle(spark, tmp_path):
 
     # empty phrase short-circuits
     assert phrase.phrase_search_indexed(spark, out, "").collect() == []
+
+
+def test_snippets_indexed_matches_python_oracle(spark, pos_index):
+    """snippets_indexed over a result page must window the index-vocabulary
+    tokens at the earliest matching query-term position — checked against a
+    pure Python re-derivation (tokenize_words both sides)."""
+    from pyspark.sql import functions as F
+
+    from clip_as_service_spark import fixtures
+    from clip_as_service_spark.textnorm import tokenize_words
+
+    pages = fixtures.make_pages(80)
+    ordered = sorted(pages, key=lambda p: p["url"])
+    toks = {i: tokenize_words(p["text"]) for i, p in enumerate(ordered, 1)}
+
+    queries = fixtures.make_queries()[:4]
+    qdf = spark.createDataFrame(
+        [(q["query_id"], q["text"]) for q in queries],
+        "query_id long, qtext string",
+    )
+    # a synthetic result page: for each query, the first 3 docs containing
+    # ANY of its terms (deterministic; content doesn't matter — the page is
+    # the operator's INPUT)
+    page_rows = []
+    expected = {}
+    before, width = 2, 6
+    for q in queries:
+        terms = set(tokenize_words(q["text"]))
+        found = 0
+        for i in sorted(toks):
+            hitpos = [p for p, t in enumerate(toks[i]) if t in terms]
+            if hitpos:
+                page_rows.append((q["query_id"], i))
+                s = max(hitpos[0] - before, 0)
+                expected[(q["query_id"], i)] = (
+                    hitpos[0], " ".join(toks[i][s : s + width])
+                )
+                found += 1
+                if found == 3:
+                    break
+    assert page_rows
+    results = spark.createDataFrame(page_rows, "query_id long, doc_id long")
+    docs = spark.createDataFrame(
+        [(i, p["text"]) for i, p in enumerate(ordered, 1)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): (r["pos"], r["snippet"])
+        for r in phrase.snippets_indexed(
+            spark, pos_index, results, qdf, docs, before=before, width=width
+        ).collect()
+    }
+    assert got == expected
+    # position source must be the PRUNED positions scan: shards beyond the
+    # query terms' are filtered out of the plan (partition filter on shard)
+    out = phrase.snippets_indexed(
+        spark, pos_index, results, qdf, docs, before=before, width=width
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard" in plan

@@ -207,3 +207,42 @@ def test_kmeans_sampled_training_still_useful(spark, emb, queries):
     r_full = _recall(sim.ivf_topk(emb, queries, km_full, k=K, nprobe=2))
     assert r_sampled >= r_full - 0.3  # same ballpark, not degenerate
     assert r_sampled > 0
+
+
+def test_rh_pairs_auto_n_bits_sizing(spark, emb):
+    """n_bits=None must apply the documented sizing rule from a corpus
+    count — asserted at two corpus sizes — and the resulting buckets must
+    stay near target_bucket-sized (the whole point of the rule)."""
+    from pyspark.sql import functions as F
+
+    # the rule itself
+    assert sim.auto_n_bits(10**9, 1000) == 20
+    assert sim.auto_n_bits(500, 256) == 1
+    assert sim.auto_n_bits(0) == 1
+
+    # applied by default at two corpus sizes (target_bucket=32 so the two
+    # sizes land on different n_bits at fixture scale)
+    small = emb.filter(F.col("vec_id") < 100)
+    for df, n_expect in ((emb, 500), (small, 100)):
+        chosen: dict = {}
+        out = sim.rh_cosine_pairs(
+            df, threshold=0.3, dim=DIM, target_bucket=32, chosen_out=chosen
+        )
+        assert chosen["n"] == n_expect
+        assert chosen["n_bits"] == sim.auto_n_bits(n_expect, 32)
+        out.collect()  # plan executes at the auto size
+
+        # per-bucket boundedness at the chosen bits (table 0)
+        sizes = (
+            df.select(
+                sim._table_bucket(
+                    F.col("embedding"), DIM, chosen["n_bits"], 0,
+                    chosen["n_bits"] * 8, 42, None,
+                ).alias("b")
+            )
+            .groupBy("b")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        assert sizes <= 8 * 32  # buckets stay near target size

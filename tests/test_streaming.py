@@ -49,6 +49,66 @@ def test_incremental_postings_match_batch(spark, tmp_path):
     assert _postings_set(spark.read.parquet(out_dir)) == _postings_set(batch)
 
 
+def test_stream_compaction_converges_to_batch_build(spark, tmp_path):
+    """Stream 3 micro-batches — including a RE-CRAWLED url whose later
+    version must win — then compact: the compacted block index must be
+    rank- and score-identical to a batch build over the union with only the
+    latest crawl of each url (the log-structured-merge convergence the
+    module promises)."""
+    from datetime import timedelta
+
+    from clip_as_service_spark.operators import index_build, wand
+
+    pages = fixtures.make_pages(90)
+    recrawl = dict(pages[5])
+    recrawl["warc_ts"] = recrawl["warc_ts"] + timedelta(days=2)
+    recrawl["text"] = (pages[5]["text"] or "fresh") + " freshly recrawled zz"
+    batches = [pages[:30], pages[30:60], pages[60:] + [recrawl]]
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "posts")
+    cp_dir = str(tmp_path / "cp")
+    for chunk in batches:
+        _write_chunk(spark, chunk, in_dir)
+        q = incremental.start_postings_stream(
+            spark, in_dir, out_dir, cp_dir, carry_ts=True
+        )
+        q.awaitTermination(120)
+
+    compacted = str(tmp_path / "compacted")
+    incremental.compact_streamed_index(
+        spark, out_dir, compacted, n_shards=4,
+        salt_cutoff=30, target_sublist=20,
+    )
+
+    # batch truth: union with ONLY the latest crawl of the re-crawled url
+    batch_pages = pages[:5] + [recrawl] + pages[6:]
+    batch_dir = str(tmp_path / "batch_idx")
+    index_build.build_index(
+        spark,
+        spark.createDataFrame(batch_pages, incremental.PAGES_SCHEMA),
+        batch_dir,
+        n_shards=4, salt_cutoff=30, target_sublist=20,
+        doc_id_method="hash",
+    )
+    queries = fixtures.queries_spark_df(spark)
+    got_c = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+        for r in wand.search_topk(spark, compacted, queries, k=10).collect()
+    }
+    got_b = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 9))
+        for r in wand.search_topk(spark, batch_dir, queries, k=10).collect()
+    }
+    assert got_c == got_b
+    assert len(got_b) > 20
+    # the recrawled doc carries its NEW content: the unique token added by
+    # the recrawl is findable, under the SAME doc_id as the original url
+    reader = wand.IndexReader(None, compacted, engine="pyarrow")
+    hits = reader.search("zz", k=5)
+    assert len(hits) == 1
+
+
 def test_windowed_event_counts_stream(spark, tmp_path):
     ev_dir = str(tmp_path / "events")
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
