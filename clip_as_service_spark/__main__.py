@@ -8,6 +8,8 @@ style (reference server/clip_server/__main__.py:13-26).
     python -m clip_as_service_spark search --index ./idx --query "hello world" -k 10
     python -m clip_as_service_spark search --index ./idx --queries-tsv qs.tsv
     python -m clip_as_service_spark stats  --index ./idx
+    python -m clip_as_service_spark compact --postings ./streamed --out ./idx
+    python -m clip_as_service_spark ann-build --input emb.parquet --out ./ann
 
 Under spark-submit the active session is reused; standalone it builds a
 local one (SPARK_GRAFT_MASTER / SPARK_GRAFT_CPUS env override).
@@ -127,6 +129,55 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    spark = _spark(args)
+    spark.sparkContext.setLogLevel("WARN")
+    from .sources.tables import IndexStorage
+    from .streaming.incremental import compact_streamed_index
+
+    compact_streamed_index(
+        spark,
+        args.postings,
+        args.out,
+        n_shards=args.n_shards,
+        salt_cutoff=args.salt_cutoff,
+        term_mode=args.term_mode,
+        bpe_path=args.bpe_path,
+    )
+    log = IndexStorage(args.out).read(spark, "build_log")
+    for r in log.orderBy("stage", "shard").collect():
+        print(json.dumps(r.asDict()))
+    return 0
+
+
+def cmd_ann_build(args) -> int:
+    spark = _spark(args)
+    spark.sparkContext.setLogLevel("WARN")
+    from .operators.ann_index import build_ann_index
+
+    emb = spark.read.parquet(args.input)
+    dim = args.dim
+    if dim is None:
+        from pyspark.sql import functions as F
+
+        row = emb.select(F.size(args.vec_col).alias("d")).first()
+        dim = int(row["d"]) if row else 0
+    store = build_ann_index(
+        spark,
+        emb,
+        args.out,
+        dim=dim,
+        rh_n_bits=args.rh_bits,
+        rh_n_tables=args.rh_tables,
+        ivf_k=args.ivf_k,
+        ivf_train_sample=args.ivf_sample,
+        id_col=args.id_col,
+        vec_col=args.vec_col,
+    )
+    print(json.dumps(store.read_meta()))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="clip_as_service_spark")
     p.add_argument("--master", default=None, help="spark master override")
@@ -183,6 +234,32 @@ def main(argv: list[str] | None = None) -> int:
     t = sub.add_parser("stats", help="index statistics")
     t.add_argument("--index", required=True)
     t.set_defaults(fn=cmd_stats)
+
+    c = sub.add_parser(
+        "compact",
+        help="compact streamed append-only postings into a full block index",
+    )
+    c.add_argument("--postings", required=True, help="streamed postings dir")
+    c.add_argument("--out", required=True)
+    c.add_argument("--n-shards", type=int, default=32)
+    c.add_argument("--salt-cutoff", type=int, default=50_000)
+    c.add_argument("--term-mode", default="word", choices=["word", "bpe"])
+    c.add_argument("--bpe-path", default=None)
+    c.set_defaults(fn=cmd_compact)
+
+    a = sub.add_parser(
+        "ann-build", help="persist the embedding-side ANN index (RH + IVF)"
+    )
+    a.add_argument("--input", required=True, help="embeddings parquet")
+    a.add_argument("--out", required=True)
+    a.add_argument("--dim", type=int, default=None, help="default: probed")
+    a.add_argument("--rh-bits", type=int, default=16)
+    a.add_argument("--rh-tables", type=int, default=1)
+    a.add_argument("--ivf-k", type=int, default=16)
+    a.add_argument("--ivf-sample", type=float, default=None)
+    a.add_argument("--id-col", default="vec_id")
+    a.add_argument("--vec-col", default="embedding")
+    a.set_defaults(fn=cmd_ann_build)
 
     args = p.parse_args(argv)
     return args.fn(args)
