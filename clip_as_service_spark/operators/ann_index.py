@@ -55,6 +55,7 @@ def build_ann_index(
     ivf_train_sample: float | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    meta_cols: tuple[str, ...] = (),
 ) -> IndexStorage:
     """Build (resumably) the persisted ANN structures over an embedding
     table. Each stage is a durable idempotent parquet write (`_SUCCESS` =
@@ -64,6 +65,12 @@ def build_ann_index(
     leave None to train a sampled deterministic k-means (kmeans_centroids)
     with ``ivf_k`` cells. The quantizer is persisted either way — query
     time must probe with EXACTLY the centroids the cells were assigned to.
+
+    ``meta_cols``: metadata columns stored ALONGSIDE the vectors in both
+    tables — the reference's AnnLite "columns used for filtering"
+    (retriever.md:161-165): a filtered search (`where=` on the stored query
+    paths) then evaluates the predicate inside the already-pruned scan,
+    parquet-pushed, instead of joining a side table per query.
     """
     store = IndexStorage(out_dir)
     if not store.has_meta():
@@ -78,10 +85,12 @@ def build_ann_index(
                 "ivf_k": ivf_k,
                 "ivf_n_iter": ivf_n_iter,
                 "ivf_train_sample": ivf_train_sample,
+                "meta_cols": list(meta_cols),
                 "version": ANN_VERSION,
             }
         )
     meta = store.read_meta()
+    mcols = tuple(meta.get("meta_cols", ()))
     target = spark.sparkContext.defaultParallelism * 2
 
     # -- RH bucket tables ---------------------------------------------------
@@ -99,10 +108,11 @@ def build_ann_index(
             for t in range(n_tables)
         ]
         rows = embeddings.select(
-            id_col, vec_col, F.explode(F.array(*tables_d)).alias("tb")
+            id_col, vec_col, *mcols, F.explode(F.array(*tables_d)).alias("tb")
         ).select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("embedding"),
+            *mcols,
             F.col("tb.tbl").alias("tbl"),
             F.col("tb.bucket").alias("bucket"),
         )
@@ -136,12 +146,13 @@ def build_ann_index(
     if not store.exists("ivf_cells"):
         cents = store.read(spark, "ivf_centroids")
         assign = sim._nearest_cells(
-            embeddings.select(id_col, vec_col), cents, 1,
+            embeddings.select(id_col, vec_col, *mcols), cents, 1,
             id_col, vec_col, "cell_id", "centroid", "_r",
         )
         cells = assign.select(
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("embedding"),
+            *mcols,
             "cell_id",
         )
         # cell count is quantizer-bounded (≤ ~10^5 by definition of a
@@ -178,12 +189,19 @@ def rh_topk_stored(
     multi_probe: bool = True,
     q_id_col: str = "query_id",
     q_vec_col: str = "qvec",
+    where=None,
 ) -> DataFrame:
     """approximate top-k via the PERSISTED RH tables: query buckets are
     computed on the (small) query set, collected driver-side, and pushed
     into the rh_buckets scan as (tbl, bucket) predicates — directory pruning
     on tbl, row-group skipping on the bucket sort. The corpus is never
     re-bucketed; the scan touches only the probed buckets' row groups.
+
+    ``where``: optional predicate (SQL string or Column) over the stored
+    meta_cols — AnnLite-style filtered search: evaluated inside the pruned
+    scan (parquet-pushed), candidates are (bucket match) ∩ (filter), exact
+    cosine over the survivors. Equivalent to pre-filtering the corpus
+    (bucketing is per-vector), pinned by test.
 
     The driver-side collect is Q·L·(n_bits+1) probe rows — queries are
     interactive-scale by construction; a billion-query batch join belongs on
@@ -227,6 +245,8 @@ def rh_topk_stored(
         p = (F.col("tbl") == t) & F.col("bucket").isin(sorted(buckets))
         pred = p if pred is None else (pred | p)
     data = store.read(spark, "rh_buckets").where(pred)
+    if where is not None:
+        data = data.where(where)
     joined = data.join(F.broadcast(q), ["tbl", "bucket"])
     cand = joined.dropDuplicates([q_id_col, "vec_id"])
     scored = cand.select(
@@ -245,13 +265,18 @@ def ivf_topk_stored(
     nprobe: int = 2,
     q_id_col: str = "query_id",
     q_vec_col: str = "qvec",
+    where=None,
 ) -> DataFrame:
     """IVF top-k via the PERSISTED cell assignment: queries probe their
     nprobe nearest cells of the STORED quantizer; the ivf_cells scan prunes
     to exactly those cell_id partition directories (hive pruning — at
     10^12 vectors a probe reads nprobe/k of the corpus, not all of it).
     Assignment math is identical to ivf_topk's, so results match the
-    recomputed path bit-for-bit."""
+    recomputed path bit-for-bit.
+
+    ``where``: optional predicate over stored meta_cols (AnnLite-style
+    filtered search) — evaluated inside the cell-pruned scan; equivalent to
+    pre-filtering the corpus (assignment is per-vector), pinned by test."""
     store = IndexStorage(index_dir)
     cents = store.read(spark, "ivf_centroids")
     q_assign = sim._nearest_cells(
@@ -266,6 +291,8 @@ def ivf_topk_stored(
             [], "query_id long, rank int, vec_id long, cosine double"
         )
     cells = store.read(spark, "ivf_cells").where(F.col("cell_id").isin(probed))
+    if where is not None:
+        cells = cells.where(where)
     joined = cells.join(F.broadcast(q_assign), "cell_id")
     scored = joined.select(
         F.col(q_id_col).alias("query_id"),

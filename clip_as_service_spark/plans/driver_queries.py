@@ -1265,6 +1265,7 @@ def _ann_store(spark: SparkSession, sf_dir: str) -> str:
             rh_seed=RH_SEED,
             sign_round_dp=_RH_SIGN_DP,
             ivf_centroids=_ivf_centroids(spark, sf_dir),
+            meta_cols=("label",),  # AnnLite-style filter column
         )
         _ANN_STORE_CACHE[sf_dir] = out
     return _ANN_STORE_CACHE[sf_dir]
@@ -1296,7 +1297,7 @@ def q_ann_rh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_ann_rh_topk() -> str:
+def _sql_ann_rh_topk(filter_label: int | None = None) -> str:
     from ..operators.similarity import rh_planes
 
     planes = rh_planes(RH_DIM, RH_BITS, RH_SEED)
@@ -1307,6 +1308,11 @@ def _sql_ann_rh_topk() -> str:
     )
     probe_rows = ", ".join(
         ["(0)"] + [f"({1 << j})" for j in range(RH_BITS)]
+    )
+    label_join = (
+        f"JOIN embeddings e ON e.vec_id = d.vec_id AND e.label = {filter_label}"
+        if filter_label is not None
+        else ""
     )
     return f"""
 WITH planes(j, i, w) AS (VALUES {plane_rows}),
@@ -1326,7 +1332,7 @@ probes AS (
   WHERE b.vec_id < {ANN_N_QUERIES}),
 cand AS (
   SELECT DISTINCT p.qid, d.vec_id AS did
-  FROM probes p JOIN bkt d ON d.bucket = p.bucket),
+  FROM probes p JOIN bkt d ON d.bucket = p.bucket {label_join}),
 norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM comp GROUP BY vec_id),
 dots AS (
   SELECT c.qid, c.did, sum(q.v * d.v) AS dot
@@ -1351,6 +1357,42 @@ FROM ranked WHERE rank <= {ANN_K}
 
 
 SQL_ANN_RH_TOPK = _sql_ann_rh_topk()
+
+ANN_FILTER_LABEL = 0
+
+
+def q_ann_rh_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ANN (the reference's AnnLite filter columns,
+    retriever.md:161-165): same RH probe as ann_rh_topk but restricted to
+    vectors with label = ANN_FILTER_LABEL — the predicate evaluates inside
+    the stored index's pruned scan (meta_cols carried at build), not via a
+    per-query side join."""
+    from ..operators import ann_index as _ann
+
+    out = _ann.rh_topk_stored(
+        spark,
+        _ann_store(spark, sf_dir),
+        _ann_queries(spark, sf_dir),
+        k=ANN_K,
+        where=f"label = {ANN_FILTER_LABEL}",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cosine"), 9)), F.asc("vec_id")
+    )
+    return (
+        out.drop("rank")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            F.round("cosine", 4).alias("cosine"),
+        )
+    )
+
+
+SQL_ANN_RH_TOPK_FILTERED = _sql_ann_rh_topk(filter_label=ANN_FILTER_LABEL)
 
 
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1707,6 +1749,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_bucketed_topk": (q_ann_bucketed_topk, SQL_ANN_BUCKETED_TOPK),
     "ann_rh_topk": (q_ann_rh_topk, SQL_ANN_RH_TOPK),
+    "ann_rh_topk_filtered": (q_ann_rh_topk_filtered, SQL_ANN_RH_TOPK_FILTERED),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "embedding_cosine_pairs": (q_embedding_cosine_pairs, SQL_EMBEDDING_COSINE_PAIRS),
     "embedding_rh_pairs": (q_embedding_rh_pairs, SQL_EMBEDDING_RH_PAIRS),

@@ -131,3 +131,41 @@ def test_build_is_resumable(spark, emb, ann_dir, tmp_path):
     assert rh_mtime == os.path.getmtime(
         os.path.join(store.path("rh_buckets"), "_SUCCESS")
     )
+
+
+def test_filtered_search_equals_prefiltered_corpus(spark, emb, queries, tmp_path):
+    """AnnLite-style filtered search: a `where` over stored meta_cols must
+    equal running the unfiltered operators over the PRE-FILTERED corpus
+    (bucketing/assignment are per-vector, so the two factorizations are the
+    same candidate set)."""
+    out = str(tmp_path / "ann_meta")
+    ann_index.build_ann_index(
+        spark, emb, out, dim=DIM,
+        rh_n_bits=N_BITS, rh_n_tables=N_TABLES,
+        ivf_k=IVF_K, ivf_n_iter=3, meta_cols=("label",),
+    )
+    pred = "label = 3"
+    sub = emb.filter(pred)
+    assert 0 < sub.count() < emb.count()
+
+    got_rh = ann_index.rh_topk_stored(spark, out, queries, k=K, where=pred)
+    want_rh = sim.rh_bucketed_topk(
+        sub, queries, k=K, n_bits=N_BITS, dim=DIM, n_tables=N_TABLES
+    )
+    assert _rows(got_rh) == _rows(want_rh)
+    assert _rows(got_rh)
+
+    from clip_as_service_spark.sources.tables import IndexStorage
+
+    cents = IndexStorage(out).read(spark, "ivf_centroids")
+    got_ivf = ann_index.ivf_topk_stored(spark, out, queries, k=K, nprobe=2, where=pred)
+    want_ivf = sim.ivf_topk(sub, queries, cents, k=K, nprobe=2)
+    assert _rows(got_ivf) == _rows(want_ivf)
+    assert _rows(got_ivf)
+
+    # the filter is PUSHED into the stored scan, not applied post-join
+    plan = got_ivf._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("label" in p for p in pushed), plan[:3000]
