@@ -636,6 +636,41 @@ FROM hit
 """
 
 
+HASH_EMBED_DIM = 32
+
+
+def q_encode_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic encode verb (feature-hashing embedding,
+    operators/encode.hash_embed): every document's HASH_EMBED_DIM-component
+    vector, emitted FLATTENED as (doc_id, i, v) so the oracle compares raw
+    components with no array-hash or rounding hazard. The array form feeds
+    the ANN family directly (encode → index → search flow, test-pinned)."""
+    from ..operators.encode import hash_embed
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = hash_embed(docs, "doc_id", "text", dim=HASH_EMBED_DIM)
+    return emb.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.posexplode("embedding").alias("i", "v"),
+    ).select("doc_id", F.col("i").cast("int").alias("i"), "v")
+
+
+SQL_ENCODE_HASH_EMBED = f"""
+WITH tok AS ({_SQL_TOKENS}),
+comp AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(term), 1, 15))::BIGINT % {HASH_EMBED_DIM} AS i,
+         sum(CASE WHEN ('0x' || substr(md5(term), 17, 1))::BIGINT % 2 = 0
+                  THEN 1.0 ELSE -1.0 END) AS v
+  FROM tok WHERE term <> '' GROUP BY doc_id, i),
+grid AS (
+  SELECT doc_id, unnest(range({HASH_EMBED_DIM})) AS i FROM documents)
+SELECT CAST(g.doc_id AS BIGINT) AS doc_id, CAST(g.i AS INT) AS i,
+       CAST(coalesce(c.v, 0.0) AS DOUBLE) AS v
+FROM grid g LEFT JOIN comp c ON g.doc_id = c.doc_id AND g.i = c.i
+"""
+
+
 SNIP_K = 3
 SNIP_BEFORE = 3
 SNIP_WIDTH = 8
@@ -1765,6 +1800,7 @@ REGISTRY: dict[str, tuple] = {
     "phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
     "search_snippets": (q_search_snippets, SQL_SEARCH_SNIPPETS),
     "search_snippets_k": (q_search_snippets_k, SQL_SEARCH_SNIPPETS_K),
+    "encode_hash_embed": (q_encode_hash_embed, SQL_ENCODE_HASH_EMBED),
 }
 
 
