@@ -167,6 +167,66 @@ def build_ann_index(
     return store
 
 
+def append_ann_vectors(
+    spark: SparkSession,
+    index_dir: str,
+    new_embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """INCREMENTAL index: append new vectors to a persisted ANN index —
+    the reference's `/index` adds docs to the resident AnnLite index the
+    same way (retriever.md:54-62). New rows are bucketed with the index's
+    OWN plane config and assigned with its STORED quantizer (never
+    retrained — cell geometry must stay what the existing rows were
+    assigned under), then parquet-appended into the same partition layout,
+    so every stored query path sees old+new with no rebuild.
+
+    Contract: vec_ids must be NEW (re-encoded docs need a compact/rebuild,
+    exactly like re-crawled urls in the postings stream). Drift note: a
+    quantizer trained long ago may assign new data badly — recall SLOWLY
+    degrades, queries stay correct; periodically rebuild (the same
+    compaction posture as the block index)."""
+    store = IndexStorage(index_dir)
+    meta = store.read_meta()
+    mcols = tuple(meta.get("meta_cols", ()))
+    n_bits, n_tables = meta["rh_n_bits"], meta["rh_n_tables"]
+    planes_bits = n_bits * n_tables
+    tables_d = [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            sim._table_bucket(
+                F.col(vec_col), meta["dim"], n_bits, t, planes_bits,
+                meta["rh_seed"], meta["sign_round_dp"],
+            ).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ]
+    rows = new_embeddings.select(
+        id_col, vec_col, *mcols, F.explode(F.array(*tables_d)).alias("tb")
+    ).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        *mcols,
+        F.col("tb.tbl").alias("tbl"),
+        F.col("tb.bucket").alias("bucket"),
+    ).sortWithinPartitions("tbl", "bucket", "vec_id")
+    store.append(rows, "rh_buckets", partition_by=["tbl"])
+
+    cents = store.read(spark, "ivf_centroids")
+    assign = sim._nearest_cells(
+        new_embeddings.select(id_col, vec_col, *mcols), cents, 1,
+        id_col, vec_col, "cell_id", "centroid", "_r",
+    )
+    cells = assign.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        *mcols,
+        "cell_id",
+    ).sortWithinPartitions("cell_id", "vec_id")
+    store.append(cells, "ivf_cells", partition_by=["cell_id"])
+
+
 def _topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("vec_id")

@@ -40,8 +40,11 @@ class IndexStorage:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(table))
 
-    def append(self, df: DataFrame, table: str):
-        df.write.mode("append").parquet(self.path(table))
+    def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None):
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(table))
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.parquet(self.path(table))

@@ -169,3 +169,33 @@ def test_filtered_search_equals_prefiltered_corpus(spark, emb, queries, tmp_path
 
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     assert any("label" in p for p in pushed), plan[:3000]
+
+
+def test_append_ann_vectors_incremental(spark, emb, queries, tmp_path):
+    """Build on half the corpus, append the other half: stored queries must
+    equal the recompute paths over the FULL corpus (RH: same buckets; IVF:
+    assignment under the STORED half-trained quantizer — appends never
+    retrain, so old rows' cell geometry is preserved)."""
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    out = str(tmp_path / "ann_inc")
+    ann_index.build_ann_index(
+        spark, half, out, dim=DIM,
+        rh_n_bits=N_BITS, rh_n_tables=N_TABLES, ivf_k=IVF_K, ivf_n_iter=3,
+    )
+    ann_index.append_ann_vectors(spark, out, rest)
+
+    got_rh = ann_index.rh_topk_stored(spark, out, queries, k=K)
+    want_rh = sim.rh_bucketed_topk(
+        emb, queries, k=K, n_bits=N_BITS, dim=DIM, n_tables=N_TABLES
+    )
+    assert _rows(got_rh) == _rows(want_rh)
+    assert _rows(got_rh)
+
+    from clip_as_service_spark.sources.tables import IndexStorage
+
+    cents = IndexStorage(out).read(spark, "ivf_centroids")
+    got_ivf = ann_index.ivf_topk_stored(spark, out, queries, k=K, nprobe=2)
+    want_ivf = sim.ivf_topk(emb, queries, cents, k=K, nprobe=2)
+    assert _rows(got_ivf) == _rows(want_ivf)
+    assert _rows(got_ivf)
