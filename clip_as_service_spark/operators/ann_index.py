@@ -95,32 +95,12 @@ def build_ann_index(
 
     # -- RH bucket tables ---------------------------------------------------
     if not store.exists("rh_buckets"):
-        n_bits, n_tables = meta["rh_n_bits"], meta["rh_n_tables"]
-        planes_bits = n_bits * n_tables
-        tables_d = [
-            F.struct(
-                F.lit(t).alias("tbl"),
-                sim._table_bucket(
-                    F.col(vec_col), meta["dim"], n_bits, t, planes_bits,
-                    meta["rh_seed"], meta["sign_round_dp"],
-                ).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-        rows = embeddings.select(
-            id_col, vec_col, *mcols, F.explode(F.array(*tables_d)).alias("tb")
-        ).select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).alias("embedding"),
-            *mcols,
-            F.col("tb.tbl").alias("tbl"),
-            F.col("tb.bucket").alias("bucket"),
-        )
+        rows = _rh_rows(embeddings, meta, id_col, vec_col)
         # write granularity: partition dirs = n_tables only (2^n_bits bucket
         # dirs would explode the namespace at 20+ bits); bucket prunes via
         # the within-file sort instead. Sub-split each table by a bucket
         # hash so write tasks ≈ 2×cores regardless of n_tables.
-        splits = max(1, -(-target // max(n_tables, 1)))
+        splits = max(1, -(-target // max(meta["rh_n_tables"], 1)))
         rows = rows.repartition(
             target, F.col("tbl"), F.pmod(F.col("bucket"), F.lit(splits))
         ).sortWithinPartitions("tbl", "bucket", "vec_id")
@@ -145,16 +125,7 @@ def build_ann_index(
         )
     if not store.exists("ivf_cells"):
         cents = store.read(spark, "ivf_centroids")
-        assign = sim._nearest_cells(
-            embeddings.select(id_col, vec_col, *mcols), cents, 1,
-            id_col, vec_col, "cell_id", "centroid", "_r",
-        )
-        cells = assign.select(
-            F.col(id_col).alias("vec_id"),
-            F.col(vec_col).alias("embedding"),
-            *mcols,
-            "cell_id",
-        )
+        cells = _ivf_rows(embeddings, cents, meta, id_col, vec_col)
         # cell count is quantizer-bounded (≤ ~10^5 by definition of a
         # coarse quantizer) so cell_id is safe as a partition dir; sub-split
         # for write parallelism like the block build
@@ -165,6 +136,58 @@ def build_ann_index(
         ).sortWithinPartitions("cell_id", "vec_id")
         store.write(cells, "ivf_cells", partition_by=["cell_id"])
     return store
+
+
+def _rh_rows(
+    embeddings: DataFrame, meta: dict, id_col: str, vec_col: str
+) -> DataFrame:
+    """(vec_id, embedding, *meta_cols, tbl, bucket) rows under the index's
+    OWN plane config — the ONE bucketing used by build and append (a
+    divergence between the two would silently split the bucket space)."""
+    mcols = tuple(meta.get("meta_cols", ()))
+    n_bits, n_tables = meta["rh_n_bits"], meta["rh_n_tables"]
+    planes_bits = n_bits * n_tables
+    tables_d = [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            sim._table_bucket(
+                F.col(vec_col), meta["dim"], n_bits, t, planes_bits,
+                meta["rh_seed"], meta["sign_round_dp"],
+            ).alias("bucket"),
+        )
+        for t in range(n_tables)
+    ]
+    return embeddings.select(
+        id_col, vec_col, *mcols, F.explode(F.array(*tables_d)).alias("tb")
+    ).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        *mcols,
+        F.col("tb.tbl").alias("tbl"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+
+
+def _ivf_rows(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    meta: dict,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(vec_id, embedding, *meta_cols, cell_id) rows assigned under the
+    GIVEN (stored) quantizer — shared by build and append."""
+    mcols = tuple(meta.get("meta_cols", ()))
+    assign = sim._nearest_cells(
+        embeddings.select(id_col, vec_col, *mcols), centroids, 1,
+        id_col, vec_col, "cell_id", "centroid", "_r",
+    )
+    return assign.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        *mcols,
+        "cell_id",
+    )
 
 
 def append_ann_vectors(
@@ -189,40 +212,14 @@ def append_ann_vectors(
     compaction posture as the block index)."""
     store = IndexStorage(index_dir)
     meta = store.read_meta()
-    mcols = tuple(meta.get("meta_cols", ()))
-    n_bits, n_tables = meta["rh_n_bits"], meta["rh_n_tables"]
-    planes_bits = n_bits * n_tables
-    tables_d = [
-        F.struct(
-            F.lit(t).alias("tbl"),
-            sim._table_bucket(
-                F.col(vec_col), meta["dim"], n_bits, t, planes_bits,
-                meta["rh_seed"], meta["sign_round_dp"],
-            ).alias("bucket"),
-        )
-        for t in range(n_tables)
-    ]
-    rows = new_embeddings.select(
-        id_col, vec_col, *mcols, F.explode(F.array(*tables_d)).alias("tb")
-    ).select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("embedding"),
-        *mcols,
-        F.col("tb.tbl").alias("tbl"),
-        F.col("tb.bucket").alias("bucket"),
-    ).sortWithinPartitions("tbl", "bucket", "vec_id")
+    rows = _rh_rows(new_embeddings, meta, id_col, vec_col).sortWithinPartitions(
+        "tbl", "bucket", "vec_id"
+    )
     store.append(rows, "rh_buckets", partition_by=["tbl"])
 
     cents = store.read(spark, "ivf_centroids")
-    assign = sim._nearest_cells(
-        new_embeddings.select(id_col, vec_col, *mcols), cents, 1,
-        id_col, vec_col, "cell_id", "centroid", "_r",
-    )
-    cells = assign.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("embedding"),
-        *mcols,
-        "cell_id",
+    cells = _ivf_rows(
+        new_embeddings, cents, meta, id_col, vec_col
     ).sortWithinPartitions("cell_id", "vec_id")
     store.append(cells, "ivf_cells", partition_by=["cell_id"])
 
@@ -292,7 +289,11 @@ def rh_topk_stored(
         q_id_col, q_vec_col,
         F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
     )
-    probe_rows = q.select("tbl", "bucket").distinct().collect()
+    # ONE evaluation of the query-side bucketing: collect the probe rows
+    # (vectors included — Q·L·(n_bits+1) rows, interactive-scale) and
+    # rebuild a local DataFrame for the join, so the plane-literal
+    # expressions never re-execute (nor re-compile) in the joined plan
+    probe_rows = q.collect()
     by_tbl: dict[int, set[int]] = {}
     for r in probe_rows:
         by_tbl.setdefault(int(r["tbl"]), set()).add(int(r["bucket"]))
@@ -300,6 +301,7 @@ def rh_topk_stored(
         return spark.createDataFrame(
             [], "query_id long, rank int, vec_id long, cosine double"
         )
+    q_local = spark.createDataFrame(probe_rows, q.schema)
     pred = None
     for t, buckets in sorted(by_tbl.items()):
         p = (F.col("tbl") == t) & F.col("bucket").isin(sorted(buckets))
@@ -307,7 +309,7 @@ def rh_topk_stored(
     data = store.read(spark, "rh_buckets").where(pred)
     if where is not None:
         data = data.where(where)
-    joined = data.join(F.broadcast(q), ["tbl", "bucket"])
+    joined = data.join(F.broadcast(q_local), ["tbl", "bucket"])
     cand = joined.dropDuplicates([q_id_col, "vec_id"])
     scored = cand.select(
         F.col(q_id_col).alias("query_id"),
@@ -343,17 +345,18 @@ def ivf_topk_stored(
         queries, cents, nprobe, q_id_col, q_vec_col, "cell_id", "centroid",
         "probe_rank",
     )
-    probed = sorted(
-        {int(r["cell_id"]) for r in q_assign.select("cell_id").distinct().collect()}
-    )
+    # one evaluation of the query×quantizer assignment (see rh_topk_stored)
+    assign_rows = q_assign.collect()
+    probed = sorted({int(r["cell_id"]) for r in assign_rows})
     if not probed:
         return spark.createDataFrame(
             [], "query_id long, rank int, vec_id long, cosine double"
         )
+    q_local = spark.createDataFrame(assign_rows, q_assign.schema)
     cells = store.read(spark, "ivf_cells").where(F.col("cell_id").isin(probed))
     if where is not None:
         cells = cells.where(where)
-    joined = cells.join(F.broadcast(q_assign), "cell_id")
+    joined = cells.join(F.broadcast(q_local), "cell_id")
     scored = joined.select(
         F.col(q_id_col).alias("query_id"),
         "vec_id",

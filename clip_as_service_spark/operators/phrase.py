@@ -119,6 +119,7 @@ def snippet_hits(
     results: DataFrame,
     query_terms: DataFrame,
     positions: DataFrame,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """→ (query_id, doc_id, pos): earliest matching-term token position per
     result row — the position source for snippet windows.
@@ -132,16 +133,23 @@ def snippet_hits(
     outside the page are never touched. Result docs containing none of the
     query's terms drop out (inner join — a BM25 hit always contains ≥1
     term, but callers merging external result pages should left-join if
-    they need row preservation)."""
+    they need row preservation).
+
+    ``carry_cols``: result-page columns (e.g. rank, score) to carry through
+    the aggregation — per-(query, doc) constants, taken with F.first — so
+    callers never re-join (and re-execute) the result-page subplan."""
     pos = positions.select(
         F.col("id").alias("doc_id"), "pos", "term"
     )
     return (
-        results.select("query_id", "doc_id")
+        results.select("query_id", "doc_id", *carry_cols)
         .join(query_terms, "query_id")
         .join(pos, ["doc_id", "term"])
         .groupBy("query_id", "doc_id")
-        .agg(F.min("pos").alias("pos"))
+        .agg(
+            F.min("pos").alias("pos"),
+            *[F.first(c).alias(c) for c in carry_cols],
+        )
     )
 
 
@@ -249,17 +257,19 @@ def phrase_positions(
     (id, pos−i) regardless of join order, so the intersection is
     order-independent but the INTERMEDIATE size is bounded by the rarest
     term's postings instead of the head term's ("the quick zyzzyva" starts
-    from zyzzyva's list, not `the`'s). A term absent from term_df sorts
-    last (treated as head). Correctness note: a negative aligned start from
-    a non-first rare term cannot survive — term 0 joins with shift 0, and
+    from zyzzyva's list, not `the`'s). A term ABSENT from term_df sorts
+    FIRST (df = 0): the map comes from the index dictionary, so absence
+    means the term occurs nowhere — its empty posting list short-circuits
+    every later join (IndexReader.phrase makes the same choice by counting
+    fetched rows). Correctness note: a negative aligned start from a
+    non-first rare term cannot survive — term 0 joins with shift 0, and
     its positions are all ≥ 0."""
     if not phrase_terms:
         spark = positions.sparkSession
         return spark.createDataFrame([], "id long, start_pos int")
     order = list(range(len(phrase_terms)))
     if term_df:
-        big = float("inf")
-        order.sort(key=lambda i: (term_df.get(phrase_terms[i], big), i))
+        order.sort(key=lambda i: (term_df.get(phrase_terms[i], 0), i))
     i0 = order[0]
     cur = positions.filter(F.col("term") == phrase_terms[i0]).select(
         "id", (F.col("pos") - i0).alias("start_pos")

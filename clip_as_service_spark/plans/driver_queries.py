@@ -698,11 +698,13 @@ def q_search_snippets_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = _t(spark, sf_dir, "documents")
     pos = _ph.token_positions(docs, "doc_id", "text")
-    hits = _ph.snippet_hits(topk, qt, pos)
+    # rank rides THROUGH the hit aggregation (carry_cols) — re-joining topk
+    # here would execute the whole BM25 subplan a second time
+    hits = _ph.snippet_hits(topk, qt, pos, carry_cols=("rank",))
     out = _ph.attach_snippets(
         hits, docs, before=SNIP_BEFORE, width=SNIP_WIDTH
     )
-    return out.join(F.broadcast(topk), ["query_id", "doc_id"]).select(
+    return out.select(
         "query_id",
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("rank").cast("int").alias("rank"),
@@ -1285,11 +1287,15 @@ def _ann_store(spark: SparkSession, sf_dir: str) -> str:
     #1) — while the oracle SQL is unchanged: the stored path's results are
     identical to the recompute operators' (pinned in tests/test_ann_index)."""
     if sf_dir not in _ANN_STORE_CACHE:
+        import atexit
+        import shutil
         import tempfile
 
         from ..operators import ann_index as _ann
 
-        out = tempfile.mkdtemp(prefix="annidx_") + "/ann"
+        tmp_root = tempfile.mkdtemp(prefix="annidx_")
+        atexit.register(shutil.rmtree, tmp_root, ignore_errors=True)
+        out = tmp_root + "/ann"
         _ann.build_ann_index(
             spark,
             _t(spark, sf_dir, "embeddings"),

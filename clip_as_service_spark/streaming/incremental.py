@@ -150,8 +150,27 @@ def compact_streamed_index(
                 F.col("warc_ts").eqNullSafe(F.col("_latest_ts"))
             )
             .drop("warc_ts", "_latest_ts")
-            .dropDuplicates(["term", "doc_id"])
+            # identical re-deliveries (at-least-once stream writes) collapse
+            # to one row; what must NOT be collapsed silently is two
+            # DIFFERENT generations sharing the max warc_ts — an arbitrary
+            # pick would build a doc mixing old and new content
+            .dropDuplicates()
         )
+        conflict = (
+            posts.groupBy("doc_id", "term")
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if conflict:
+            raise ValueError(
+                "compact_streamed_index: conflicting posting generations "
+                "share one (doc_id, max warc_ts) — two crawls of a url "
+                "landed with the same timestamp but different content. "
+                "Latest-crawl-wins cannot order them; give crawls distinct "
+                "warc_ts (or dedupe upstream) and re-compact."
+            )
     store = IndexStorage(out_dir)
     if not store.has_meta():
         store.write_meta(

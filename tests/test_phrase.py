@@ -73,6 +73,15 @@ def test_phrase_rarest_term_first_ordering(spark):
     plan = ordered._jdf.queryExecution().optimizedPlan().toString()
     assert plan.index("cc_rare") < plan.index("bb_mid") < plan.index("aa_head")
 
+    # a term ABSENT from term_df is df=0 (the dictionary is complete):
+    # it must join FIRST — its empty posting list short-circuits the rest
+    oov = phrase.phrase_positions(
+        pos, ["aa_head", "zz_oov"], term_df={"aa_head": 10}
+    )
+    assert oov.collect() == []
+    oplan = oov._jdf.queryExecution().optimizedPlan().toString()
+    assert oplan.index("zz_oov") < oplan.index("aa_head")
+
 
 import pytest
 
