@@ -156,10 +156,18 @@ def compact_streamed_index(
             # pick would build a doc mixing old and new content
             .dropDuplicates()
         )
+        # two generations are detectable by EITHER a duplicate (doc_id,
+        # term) row or >1 distinct dl per doc (dl is a per-generation
+        # constant — disjoint-vocabulary rewrites still differ here unless
+        # token counts coincide exactly, the one residual blind spot)
         conflict = (
-            posts.groupBy("doc_id", "term")
-            .count()
-            .filter(F.col("count") > 1)
+            posts.groupBy("doc_id")
+            .agg(
+                F.count_distinct("dl").alias("ndl"),
+                F.count("term").alias("nt"),
+                F.count_distinct("term").alias("ndt"),
+            )
+            .filter((F.col("ndl") > 1) | (F.col("nt") > F.col("ndt")))
             .limit(1)
             .count()
         )

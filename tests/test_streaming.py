@@ -109,6 +109,47 @@ def test_stream_compaction_converges_to_batch_build(spark, tmp_path):
     assert len(hits) == 1
 
 
+def test_stream_compaction_ts_tie_conflict_raises(spark, tmp_path):
+    """Two different generations of a url sharing the SAME max warc_ts are
+    unorderable — compaction must raise, never mix their postings
+    arbitrarily. Identical re-deliveries (at-least-once writes) of the SAME
+    generation must still compact fine."""
+    import pytest as _pytest
+
+    pages = fixtures.make_pages(10)
+    clash = dict(pages[0])
+    clash["text"] = "entirely different text for the same crawl instant"
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "posts")
+    cp_dir = str(tmp_path / "cp")
+    _write_chunk(spark, pages, in_dir)
+    q = incremental.start_postings_stream(
+        spark, in_dir, out_dir, cp_dir, carry_ts=True
+    )
+    q.awaitTermination(120)
+    # redelivery of an IDENTICAL generation → fine
+    _write_chunk(spark, pages[:1], in_dir)
+    q = incremental.start_postings_stream(
+        spark, in_dir, out_dir, cp_dir, carry_ts=True
+    )
+    q.awaitTermination(120)
+    ok = str(tmp_path / "ok_idx")
+    incremental.compact_streamed_index(
+        spark, out_dir, ok, n_shards=4, salt_cutoff=30, target_sublist=20
+    )
+    # now a CONFLICTING generation at the same warc_ts → loud failure
+    _write_chunk(spark, [clash], in_dir)
+    q = incremental.start_postings_stream(
+        spark, in_dir, out_dir, cp_dir, carry_ts=True
+    )
+    q.awaitTermination(120)
+    with _pytest.raises(ValueError, match="conflicting posting generations"):
+        incremental.compact_streamed_index(
+            spark, out_dir, str(tmp_path / "bad_idx"),
+            n_shards=4, salt_cutoff=30, target_sublist=20,
+        )
+
+
 def test_windowed_event_counts_stream(spark, tmp_path):
     ev_dir = str(tmp_path / "events")
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")

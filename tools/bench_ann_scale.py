@@ -1,0 +1,122 @@
+"""ANN at-rest scale evidence: stored-index probes vs per-query recompute
+at a corpus size where the data side dominates (default 1M × 64-dim).
+
+The sf0.1 bench (5k vectors) is probe-overhead-bound — this run shows the
+actual asymmetry the persisted index buys: the recompute paths scan and
+re-bucket/re-assign all N vectors per query batch, while the stored paths
+read only the probed buckets/cells.
+
+Usage: python tools/bench_ann_scale.py [n_vectors] [dim]
+Prints one JSON line; intermediate data under /tmp/ann_scale_bench.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+WORK = "/tmp/ann_scale_bench"
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    from pyspark.sql import functions as F
+
+    from clip_as_service_spark.operators import ann_index, similarity as sim
+    from clip_as_service_spark.session import get_spark
+
+    spark = get_spark(app_name="ann-scale", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # deterministic synthetic vectors, generated distributed (numpy per
+    # partition, seeded by partition id — no driver materialization)
+    emb_path = f"{WORK}/emb_n{n}_d{dim}"
+    if not os.path.exists(os.path.join(emb_path, "_SUCCESS")):
+        import numpy as np
+        import pandas as pd
+
+        n_parts = 64
+        per = -(-n // n_parts)
+
+        def _gen(batches):
+            for pdf in batches:
+                for pid in pdf["pid"]:
+                    rng = np.random.default_rng(1000 + int(pid))
+                    lo = int(pid) * per
+                    hi = min(lo + per, n)
+                    if lo >= hi:
+                        continue
+                    vecs = rng.standard_normal((hi - lo, dim))
+                    yield pd.DataFrame(
+                        {
+                            "vec_id": np.arange(lo, hi, dtype=np.int64),
+                            "embedding": [row.tolist() for row in vecs],
+                        }
+                    )
+
+        seed_df = spark.range(n_parts).toDF("pid").repartition(n_parts)
+        seed_df.mapInPandas(
+            _gen, "vec_id long, embedding array<double>"
+        ).write.mode("overwrite").parquet(emb_path)
+    emb = spark.read.parquet(emb_path)
+
+    ann_dir = f"{WORK}/idx_n{n}_d{dim}"
+    shutil.rmtree(ann_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    ann_index.build_ann_index(
+        spark, emb, ann_dir, dim=dim,
+        rh_n_bits=12, rh_n_tables=4,  # 4096 buckets/table ≈ 244 rows each
+        ivf_k=64, ivf_n_iter=4, ivf_train_sample=0.02,
+    )
+    build_sec = round(time.perf_counter() - t0, 2)
+
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+    def timed(fn) -> float:
+        t1 = time.perf_counter()
+        fn().count()
+        return round(time.perf_counter() - t1, 2)
+
+    from clip_as_service_spark.sources.tables import IndexStorage
+
+    cents = IndexStorage(ann_dir).read(spark, "ivf_centroids")
+    out = {
+        "metric": "ann_stored_vs_recomputed_scale",
+        "n_vectors": n,
+        "dim": dim,
+        "build_sec": build_sec,
+        "rh_stored_sec": timed(
+            lambda: ann_index.rh_topk_stored(spark, ann_dir, queries, k=10)
+        ),
+        "rh_recomputed_sec": timed(
+            lambda: sim.rh_bucketed_topk(
+                emb, queries, k=10, n_bits=12, dim=dim, n_tables=4
+            )
+        ),
+        "ivf_stored_sec": timed(
+            lambda: ann_index.ivf_topk_stored(
+                spark, ann_dir, queries, k=10, nprobe=4
+            )
+        ),
+        "ivf_recomputed_sec": timed(
+            lambda: sim.ivf_topk(emb, queries, cents, k=10, nprobe=4)
+        ),
+    }
+    out["rh_speedup"] = round(out["rh_recomputed_sec"] / out["rh_stored_sec"], 1)
+    out["ivf_speedup"] = round(
+        out["ivf_recomputed_sec"] / out["ivf_stored_sec"], 1
+    )
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
