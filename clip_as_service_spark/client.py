@@ -104,6 +104,14 @@ class CasSparkClient:
             )
         raise ValueError(f"unknown search method {method!r}")
 
+    def reader(self):
+        """Warm zero-Spark-job serving handle (AnnReader) over the
+        workspace index — the resident-retriever analog; use for
+        interactive single-query latency, `search` for batches."""
+        from .operators.ann_index import AnnReader
+
+        return AnnReader(f"{self.workspace}/ann")
+
     # -- rank ---------------------------------------------------------------
     def rank(self, query_text: str, candidates) -> DataFrame:
         """Re-rank a fixed candidate set against one query by cosine —

@@ -224,6 +224,132 @@ def append_ann_vectors(
     store.append(cells, "ivf_cells", partition_by=["cell_id"])
 
 
+class AnnReader:
+    """Warm handle for LOW-LATENCY interactive ANN over a persisted index —
+    the serving twin of wand.IndexReader, and the engine's analog of the
+    reference's resident AnnLite retriever (queries served from the index
+    in memory-mapped storage, retriever.md:117-136). Zero Spark jobs per
+    query: probe buckets/cells are computed driver-side with numpy, the
+    pyarrow dataset scan prunes to them (hive partition + row-group
+    filters, C++), and the exact-cosine re-rank runs vectorized on the
+    driver.
+
+    Bucketing note: stored buckets came from Spark's sequential-fold dot
+    products; the reader recomputes QUERY buckets with numpy (pairwise
+    summation). A last-ulp sign flip on a plane boundary would probe a
+    neighboring bucket — recall may differ infinitesimally from the Spark
+    path, scores never (cosine is exact over whatever candidates are
+    fetched). Build with sign_round_dp to pin boundaries if bit-identical
+    probing matters."""
+
+    def __init__(self, index_dir: str):
+        import numpy as np
+        import pyarrow.dataset as pads
+
+        self.store = IndexStorage(index_dir)
+        self.meta = self.store.read_meta()
+        self._rh_ds = pads.dataset(
+            self.store.path("rh_buckets"), format="parquet", partitioning="hive"
+        )
+        self._ivf_ds = (
+            pads.dataset(
+                self.store.path("ivf_cells"), format="parquet",
+                partitioning="hive",
+            )
+            if self.store.exists("ivf_cells")
+            else None
+        )
+        nb, nt = self.meta["rh_n_bits"], self.meta["rh_n_tables"]
+        self._planes = sim.rh_planes(
+            self.meta["dim"], nb * nt, self.meta["rh_seed"]
+        )
+        if self.store.exists("ivf_centroids"):
+            import pyarrow.dataset as pads2
+
+            tbl = pads2.dataset(
+                self.store.path("ivf_centroids"), format="parquet"
+            ).to_table()
+            cid = np.asarray(tbl.column("cell_id"), dtype=np.int64)
+            cvecs = np.array(tbl.column("centroid").to_pylist(), dtype=np.float64)
+            order = np.argsort(cid)
+            self._cell_ids = cid[order]
+            self._centroids = cvecs[order]
+            self._cent_norms = np.linalg.norm(self._centroids, axis=1)
+        else:
+            self._cell_ids = None
+
+    def _query_buckets(self, qvec, multi_probe: bool = True) -> list[tuple[int, int]]:
+        import numpy as np
+
+        nb, nt = self.meta["rh_n_bits"], self.meta["rh_n_tables"]
+        dots = self._planes @ np.asarray(qvec, dtype=np.float64)
+        dp = self.meta.get("sign_round_dp")
+        if dp is not None:
+            dots = np.round(dots, dp)
+        probes = []
+        for t in range(nt):
+            bits = (dots[t * nb : (t + 1) * nb] >= 0).astype(np.int64)
+            b0 = int((bits << np.arange(nb)).sum())
+            probes.append((t, b0))
+            if multi_probe:
+                probes += [(t, b0 ^ (1 << j)) for j in range(nb)]
+        return probes
+
+    def _rerank(self, ids, vecs, qvec, k: int):
+        import numpy as np
+
+        if len(ids) == 0:
+            return []
+        q = np.asarray(qvec, dtype=np.float64)
+        V = np.asarray(vecs, dtype=np.float64)
+        cos = (V @ q) / (np.linalg.norm(V, axis=1) * np.linalg.norm(q))
+        order = np.lexsort((ids, -cos))[:k]
+        return [
+            (rank + 1, int(ids[i]), float(cos[i]))
+            for rank, i in enumerate(order)
+        ]
+
+    def search(self, qvec, k: int = 10, multi_probe: bool = True):
+        """RH probe → [(rank, vec_id, cosine)] — one pruned pyarrow read."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        probes = self._query_buckets(qvec, multi_probe)
+        by_tbl: dict[int, list[int]] = {}
+        for t, b in probes:
+            by_tbl.setdefault(t, []).append(b)
+        flt = None
+        for t, bs in sorted(by_tbl.items()):
+            p = (pc.field("tbl") == t) & pc.field("bucket").isin(sorted(set(bs)))
+            flt = p if flt is None else (flt | p)
+        tbl = self._rh_ds.to_table(filter=flt, columns=["vec_id", "embedding"])
+        ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
+        # candidates dedupe across tables before the re-rank
+        ids, first = np.unique(ids, return_index=True)
+        vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)[first]
+        return self._rerank(ids, vecs, qvec, k)
+
+    def search_ivf(self, qvec, k: int = 10, nprobe: int = 2):
+        """IVF probe → [(rank, vec_id, cosine)] — reads nprobe cell dirs."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        if self._cell_ids is None:
+            raise ValueError("index has no ivf_centroids table")
+        q = np.asarray(qvec, dtype=np.float64)
+        ccos = (self._centroids @ q) / (self._cent_norms * np.linalg.norm(q))
+        ccos = np.round(ccos, 9)  # same tie rounding as _nearest_cells
+        order = np.lexsort((self._cell_ids, -ccos))[:nprobe]
+        cells = sorted(int(self._cell_ids[i]) for i in order)
+        tbl = self._ivf_ds.to_table(
+            filter=pc.field("cell_id").isin(cells),
+            columns=["vec_id", "embedding"],
+        )
+        ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
+        vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+        return self._rerank(ids, vecs, qvec, k)
+
+
 def _ensure_in_filter_threshold(spark: SparkSession, needed: int) -> None:
     key = "spark.sql.parquet.pushdown.inFilterThreshold"
     try:

@@ -199,3 +199,40 @@ def test_append_ann_vectors_incremental(spark, emb, queries, tmp_path):
     want_ivf = sim.ivf_topk(emb, queries, cents, k=K, nprobe=2)
     assert _rows(got_ivf) == _rows(want_ivf)
     assert _rows(got_ivf)
+
+
+def test_ann_reader_interactive_matches_stored_paths(spark, emb, queries, tmp_path):
+    """AnnReader (zero-Spark-job pyarrow serving path) must return the
+    same ranked results as the Spark stored paths. Built with
+    sign_round_dp so the reader's numpy probe bucketing is pinned to the
+    Spark fold's (boundary signs rounded before sign on both sides)."""
+    out = str(tmp_path / "ann_reader")
+    ann_index.build_ann_index(
+        spark, emb, out, dim=DIM,
+        rh_n_bits=N_BITS, rh_n_tables=N_TABLES,
+        ivf_k=IVF_K, ivf_n_iter=3, sign_round_dp=9,
+    )
+    reader = ann_index.AnnReader(out)
+    q_rows = queries.collect()
+
+    spark_rh = {}
+    for r in ann_index.rh_topk_stored(spark, out, queries, k=K).collect():
+        spark_rh.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], round(r["cosine"], 9))
+        )
+    spark_ivf = {}
+    for r in ann_index.ivf_topk_stored(spark, out, queries, k=K, nprobe=2).collect():
+        spark_ivf.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], round(r["cosine"], 9))
+        )
+    for qr in q_rows:
+        got = [
+            (rk, vid, round(c, 9))
+            for rk, vid, c in reader.search(qr["qvec"], k=K)
+        ]
+        assert got == sorted(spark_rh[qr["query_id"]]), qr["query_id"]
+        got_ivf = [
+            (rk, vid, round(c, 9))
+            for rk, vid, c in reader.search_ivf(qr["qvec"], k=K, nprobe=2)
+        ]
+        assert got_ivf == sorted(spark_ivf[qr["query_id"]]), qr["query_id"]

@@ -66,6 +66,13 @@ def test_profile(client):
     assert p["ivf_cells"]["rows"] >= len(CORPUS)
 
 
+def test_reader_interactive(client):
+    emb0 = client.encode(CORPUS).filter("id = 0").collect()[0]["embedding"]
+    reader = client.reader()
+    got = reader.search(emb0, k=1)
+    assert got and got[0][1] == 0  # self-hit, zero Spark jobs
+
+
 def test_search_unknown_method_raises(client):
     with pytest.raises(ValueError, match="unknown search method"):
         client.search(["x"], method="hnsw")
