@@ -196,6 +196,7 @@ def append_ann_vectors(
     new_embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    validate_ids: bool = True,
 ) -> None:
     """INCREMENTAL index: append new vectors to a persisted ANN index —
     the reference's `/index` adds docs to the resident AnnLite index the
@@ -206,12 +207,34 @@ def append_ann_vectors(
     so every stored query path sees old+new with no rebuild.
 
     Contract: vec_ids must be NEW (re-encoded docs need a compact/rebuild,
-    exactly like re-crawled urls in the postings stream). Drift note: a
+    exactly like re-crawled urls in the postings stream). validate_ids
+    (default on) ENFORCES it with one bare-id semi-join against the
+    existing index before writing — a colliding id would otherwise make
+    every query path's dedup pick an arbitrary one of two different
+    vectors, silently. Pass False only when ids are provably disjoint
+    (e.g. monotonic allocation) and the extra scan matters. Drift note: a
     quantizer trained long ago may assign new data badly — recall SLOWLY
     degrades, queries stay correct; periodically rebuild (the same
     compaction posture as the block index)."""
     store = IndexStorage(index_dir)
     meta = store.read_meta()
+    if validate_ids:
+        new_ids = new_embeddings.select(F.col(id_col).alias("vec_id")).distinct()
+        clash = (
+            store.read(new_embeddings.sparkSession, "ivf_cells")
+            .select("vec_id")
+            .join(new_ids, "vec_id", "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if clash:
+            raise ValueError(
+                f"append_ann_vectors: vec_id {clash[0]['vec_id']} already "
+                "exists in the index — appended ids must be NEW (query-path "
+                "dedup would pick an arbitrary one of two vectors). "
+                "Re-encoded docs need a rebuild; offset new ids (e.g. "
+                "client.encode(texts, id_offset=...))."
+            )
     rows = _rh_rows(new_embeddings, meta, id_col, vec_col).sortWithinPartitions(
         "tbl", "bucket", "vec_id"
     )
@@ -239,15 +262,29 @@ class AnnReader:
     summation). A last-ulp sign flip on a plane boundary would probe a
     neighboring bucket — recall may differ infinitesimally from the Spark
     path, scores never (cosine is exact over whatever candidates are
-    fetched). Build with sign_round_dp to pin boundaries if bit-identical
-    probing matters."""
+    fetched). Build with sign_round_dp to pin boundaries — the reader
+    replicates Spark's HALF_UP (round-half-away-from-zero) semantics, not
+    numpy's half-to-even, so rounded signs agree exactly.
+
+    Snapshot semantics: the pyarrow dataset lists files at construction.
+    After append_ann_vectors, call ``refresh()`` (or build a new reader) —
+    a held handle does NOT see appends, by design (a serving process swaps
+    readers on a schedule, never mid-query)."""
 
     def __init__(self, index_dir: str):
+        self.store = IndexStorage(index_dir)
+        self.meta = self.store.read_meta()
+        nb, nt = self.meta["rh_n_bits"], self.meta["rh_n_tables"]
+        self._planes = sim.rh_planes(
+            self.meta["dim"], nb * nt, self.meta["rh_seed"]
+        )
+        self.refresh()
+
+    def refresh(self) -> None:
+        """Re-list index files (pick up append_ann_vectors output)."""
         import numpy as np
         import pyarrow.dataset as pads
 
-        self.store = IndexStorage(index_dir)
-        self.meta = self.store.read_meta()
         self._rh_ds = pads.dataset(
             self.store.path("rh_buckets"), format="parquet", partitioning="hive"
         )
@@ -259,18 +296,12 @@ class AnnReader:
             if self.store.exists("ivf_cells")
             else None
         )
-        nb, nt = self.meta["rh_n_bits"], self.meta["rh_n_tables"]
-        self._planes = sim.rh_planes(
-            self.meta["dim"], nb * nt, self.meta["rh_seed"]
-        )
         if self.store.exists("ivf_centroids"):
-            import pyarrow.dataset as pads2
-
-            tbl = pads2.dataset(
+            tbl = pads.dataset(
                 self.store.path("ivf_centroids"), format="parquet"
             ).to_table()
             cid = np.asarray(tbl.column("cell_id"), dtype=np.int64)
-            cvecs = np.array(tbl.column("centroid").to_pylist(), dtype=np.float64)
+            cvecs = _list_col_to_2d(tbl.column("centroid"), self.meta["dim"])
             order = np.argsort(cid)
             self._cell_ids = cid[order]
             self._centroids = cvecs[order]
@@ -285,7 +316,11 @@ class AnnReader:
         dots = self._planes @ np.asarray(qvec, dtype=np.float64)
         dp = self.meta.get("sign_round_dp")
         if dp is not None:
-            dots = np.round(dots, dp)
+            # Spark F.round = decimal HALF_UP (half away from zero); numpy's
+            # np.round is half-to-even and would flip the sign of e.g.
+            # -5e-10 differently — replicate Spark exactly
+            scale = 10.0 ** dp
+            dots = np.sign(dots) * np.floor(np.abs(dots) * scale + 0.5) / scale
         probes = []
         for t in range(nt):
             bits = (dots[t * nb : (t + 1) * nb] >= 0).astype(np.int64)
@@ -302,8 +337,12 @@ class AnnReader:
             return []
         q = np.asarray(qvec, dtype=np.float64)
         V = np.asarray(vecs, dtype=np.float64)
-        cos = (V @ q) / (np.linalg.norm(V, axis=1) * np.linalg.norm(q))
-        order = np.lexsort((ids, -cos))[:k]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = (V @ q) / (np.linalg.norm(V, axis=1) * np.linalg.norm(q))
+        # Spark's F.desc treats NaN as the LARGEST double (a zero-norm
+        # vector's cosine ranks first there) — match, so reader ≡ stored
+        sort_key = np.where(np.isnan(cos), -np.inf, -cos)
+        order = np.lexsort((ids, sort_key))[:k]
         return [
             (rank + 1, int(ids[i]), float(cos[i]))
             for rank, i in enumerate(order)
@@ -326,7 +365,7 @@ class AnnReader:
         ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
         # candidates dedupe across tables before the re-rank
         ids, first = np.unique(ids, return_index=True)
-        vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)[first]
+        vecs = _list_col_to_2d(tbl.column("embedding"), self.meta["dim"])[first]
         return self._rerank(ids, vecs, qvec, k)
 
     def search_ivf(self, qvec, k: int = 10, nprobe: int = 2):
@@ -334,8 +373,11 @@ class AnnReader:
         import numpy as np
         import pyarrow.compute as pc
 
-        if self._cell_ids is None:
-            raise ValueError("index has no ivf_centroids table")
+        if self._cell_ids is None or self._ivf_ds is None:
+            raise ValueError(
+                "index has no IVF tables (ivf_centroids/ivf_cells) — "
+                "incomplete or RH-only build"
+            )
         q = np.asarray(qvec, dtype=np.float64)
         ccos = (self._centroids @ q) / (self._cent_norms * np.linalg.norm(q))
         ccos = np.round(ccos, 9)  # same tie rounding as _nearest_cells
@@ -346,8 +388,19 @@ class AnnReader:
             columns=["vec_id", "embedding"],
         )
         ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
-        vecs = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+        vecs = _list_col_to_2d(tbl.column("embedding"), self.meta["dim"])
         return self._rerank(ids, vecs, qvec, k)
+
+
+def _list_col_to_2d(col, dim: int):
+    """Arrow list<double> column → (n, dim) float64 ndarray with NO
+    per-element Python objects: flatten() respects list offsets/slices and
+    exposes the child buffer; the reshape is valid because every index row
+    stores exactly `dim` components."""
+    import numpy as np
+
+    flat = np.asarray(col.combine_chunks().flatten(), dtype=np.float64)
+    return flat.reshape(-1, dim)
 
 
 def _ensure_in_filter_threshold(spark: SparkSession, needed: int) -> None:

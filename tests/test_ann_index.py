@@ -236,3 +236,14 @@ def test_ann_reader_interactive_matches_stored_paths(spark, emb, queries, tmp_pa
             for rk, vid, c in reader.search_ivf(qr["qvec"], k=K, nprobe=2)
         ]
         assert got_ivf == sorted(spark_ivf[qr["query_id"]]), qr["query_id"]
+
+
+def test_append_rejects_colliding_ids(spark, emb, ann_dir, tmp_path):
+    """Appending vectors whose ids already exist must raise — query-path
+    dedup would otherwise pick an arbitrary one of two different vectors."""
+    import shutil
+
+    out = str(tmp_path / "ann_clash")
+    shutil.copytree(ann_dir, out)
+    with pytest.raises(ValueError, match="already\\s+exists in the index"):
+        ann_index.append_ann_vectors(spark, out, emb.limit(3))
