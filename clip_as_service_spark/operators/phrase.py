@@ -160,6 +160,7 @@ def attach_snippets(
     width: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_hits: bool = True,
 ) -> DataFrame:
     """→ hits + ``snippet``: a ``width``-token window starting ``before``
     tokens ahead of each hit position. The text column is read ONCE, for
@@ -167,13 +168,19 @@ def attach_snippets(
     broadcast against the documents table, so a k=10 page over 10^6 queries
     joins 10^7 doc rows out of the corpus, never rescanning documents per
     term. Tokens split on single space (the documents-table convention —
-    the indexed twin re-tokenizes with the index vocabulary instead)."""
+    the indexed twin re-tokenizes with the index vocabulary instead).
+
+    ``broadcast_hits``: the default hint is right for interactive result
+    pages (k·|queries| rows). A bulk re-scoring batch whose page set
+    exceeds the driver/broadcast budget should pass False — the hint is
+    dropped and AQE picks the join strategy from the OBSERVED size at
+    runtime (broadcast if it still fits, shuffle join if not)."""
     docs = documents.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
     )
     start = F.greatest(F.col("pos") - before, F.lit(0))
     return (
-        docs.join(F.broadcast(hits), "doc_id")
+        docs.join(F.broadcast(hits) if broadcast_hits else hits, "doc_id")
         .withColumn(
             "snippet",
             F.array_join(
@@ -193,13 +200,24 @@ def snippets_indexed(
     before: int = 3,
     width: int = 8,
     q_text_col: str = "qtext",
+    broadcast_hits: bool = True,
 ) -> DataFrame:
     """→ (query_id, doc_id, pos, snippet) for a result page, reading term
     positions from the PERSISTED positions table: the scan prunes to the
     union of all queries' terms (shard dirs + term row groups), and the
     text column is windowed once via attach_snippets — a results page never
     re-scans documents per term. Tokenization matches the index vocabulary
-    (tokenize_words), including for the window slicing."""
+    (tokenize_words), including for the window slicing.
+
+    Plan shape (load-bearing): documents joins the (small) hit set FIRST
+    and the tokenize UDF is projected ABOVE that join, so only the
+    k·|queries| surviving rows ever cross the Python boundary — the corpus
+    is never tokenized per results page (reference analog: matches are
+    windowed per result, never per corpus — executors/helper.py:120-124).
+    Pinned by a plan-position test (ArrowEvalPython above the join).
+
+    ``broadcast_hits``: see attach_snippets — False drops the hint for
+    oversized page batches and lets AQE choose from the runtime size."""
     from ..functions.hashing import term_shard
     from ..functions.text import tokenize_udf
     from ..sources.tables import IndexStorage
@@ -226,20 +244,22 @@ def snippets_indexed(
     )
     query_terms = spark.createDataFrame(qt, "query_id long, term string")
     hits = snippet_hits(results, query_terms, pos)
-    docs = documents.select(
-        "doc_id", tokenize_udf(F.col("text")).alias("_toks")
-    )
+    docs = documents.select("doc_id", F.col("text").alias("_text"))
     start = F.greatest(F.col("pos") - before, F.lit(0))
-    return (
-        docs.join(F.broadcast(hits), "doc_id")
-        .select(
-            "query_id",
-            "doc_id",
-            F.col("pos").cast("int").alias("pos"),
-            F.array_join(F.slice("_toks", start + 1, width), " ").alias(
-                "snippet"
-            ),
-        )
+    # join BEFORE tokenizing: the UDF projection sits above the join, so it
+    # evaluates only over rows that survived the hit semi-join — never the
+    # whole corpus (Catalyst does not push Python UDF projections through
+    # joins, so writing the plan in this order IS the guarantee)
+    joined = docs.join(
+        F.broadcast(hits) if broadcast_hits else hits, "doc_id"
+    )
+    return joined.select(
+        "query_id",
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.array_join(
+            F.slice(tokenize_udf(F.col("_text")), start + 1, width), " "
+        ).alias("snippet"),
     )
 
 

@@ -204,3 +204,17 @@ def test_snippets_indexed_matches_python_oracle(spark, pos_index):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "shard" in plan
+    # UDF-position pin (VERDICT r04 #1): the tokenize UDF must evaluate
+    # ABOVE the documents⋈hits join — tokenizing only the k·|queries|
+    # surviving rows, never the corpus. Plans print root-first, so "above"
+    # = an EARLIER line: every ArrowEvalPython must precede the join node.
+    lines = plan.splitlines()
+    udf_lines = [i for i, l in enumerate(lines) if "ArrowEvalPython" in l]
+    join_lines = [
+        i for i, l in enumerate(lines) if "BroadcastHashJoin" in l
+    ]
+    assert udf_lines and join_lines
+    assert max(udf_lines) < min(join_lines), (
+        "tokenize UDF evaluates below the hits join — whole-corpus "
+        "Python scan per results page"
+    )
