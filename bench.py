@@ -234,6 +234,32 @@ def main() -> None:
         ),
     }
 
+    # id-only payload (store_vectors=False): same probes, n_tables× smaller
+    # rh_buckets (vectors live once, in ivf_cells) — report bytes + the
+    # fetch-join probe cost next to the full-payload numbers
+    def _tbl_bytes(root: str, table: str) -> int:
+        total = 0
+        for dp, _, fns in os.walk(os.path.join(root, table)):
+            total += sum(
+                os.path.getsize(os.path.join(dp, f))
+                for f in fns if f.endswith(".parquet")
+            )
+        return total
+
+    slim_dir = "/tmp/bench_ann_slim"
+    _sh.rmtree(slim_dir, ignore_errors=True)
+    annx.build_ann_index(
+        spark, emb, slim_dir, dim=dq.RH_DIM, rh_n_bits=8, rh_n_tables=8,
+        ivf_centroids=sim.kmeans_centroids(emb, k=16, n_iter=5),
+        store_vectors=False,
+    )
+    ann_stored["rh_stored_idonly_sec"] = _timed(
+        lambda: annx.rh_topk_stored(spark, slim_dir, q_ann, k=10)
+    )
+    ann_stored["rh_buckets_bytes_full"] = _tbl_bytes(ann_dir, "rh_buckets")
+    ann_stored["rh_buckets_bytes_idonly"] = _tbl_bytes(slim_dir, "rh_buckets")
+    ann_stored["ivf_cells_bytes"] = _tbl_bytes(slim_dir, "ivf_cells")
+
     def _pair_set(df) -> set:
         return {(r["id_a"], r["id_b"]) for r in df.select("id_a", "id_b").collect()}
 

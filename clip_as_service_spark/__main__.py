@@ -173,8 +173,20 @@ def cmd_ann_build(args) -> int:
         ivf_train_sample=args.ivf_sample,
         id_col=args.id_col,
         vec_col=args.vec_col,
+        store_vectors=not args.no_store_vectors,
     )
     print(json.dumps(store.read_meta()))
+    return 0
+
+
+def cmd_ann_compact(args) -> int:
+    spark = _spark(args)
+    spark.sparkContext.setLogLevel("WARN")
+    from .operators.ann_index import compact_ann_index
+    from .sources.tables import IndexStorage
+
+    compact_ann_index(spark, args.index, retrain=args.retrain)
+    print(json.dumps(IndexStorage(args.index).read_meta()))
     return 0
 
 
@@ -253,13 +265,27 @@ def main(argv: list[str] | None = None) -> int:
     a.add_argument("--input", required=True, help="embeddings parquet")
     a.add_argument("--out", required=True)
     a.add_argument("--dim", type=int, default=None, help="default: probed")
-    a.add_argument("--rh-bits", type=int, default=16)
+    a.add_argument("--rh-bits", type=int, default=None, help="None = auto-size from corpus")
     a.add_argument("--rh-tables", type=int, default=1)
-    a.add_argument("--ivf-k", type=int, default=16)
+    a.add_argument("--ivf-k", type=int, default=None, help="None = auto-size from corpus (~sqrt(N))")
     a.add_argument("--ivf-sample", type=float, default=None)
     a.add_argument("--id-col", default="vec_id")
     a.add_argument("--vec-col", default="embedding")
+    a.add_argument(
+        "--no-store-vectors", action="store_true",
+        help="id-only rh_buckets payload (vectors fetched from ivf_cells "
+        "at probe time) — n_tables x smaller index",
+    )
     a.set_defaults(fn=cmd_ann_build)
+
+    ac = sub.add_parser(
+        "ann-compact",
+        help="compact the ANN workspace (coalesce append small files; "
+        "--retrain also retrains the quantizer and reassigns cells)",
+    )
+    ac.add_argument("--index", required=True)
+    ac.add_argument("--retrain", action="store_true")
+    ac.set_defaults(fn=cmd_ann_compact)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -35,10 +35,13 @@ class CasSparkClient:
         spark: SparkSession,
         workspace: str,
         dim: int = 64,
-        rh_n_bits: int = 8,
+        rh_n_bits: int | None = None,
         rh_n_tables: int = 8,
-        ivf_k: int = 16,
+        ivf_k: int | None = None,
     ):
+        # rh_n_bits/ivf_k None = size from the corpus at index() time
+        # (build_ann_index auto_n_bits/auto_ivf_k); explicit values pin
+        # the geometry (small fixtures, cross-engine oracles)
         self.spark = spark
         self.workspace = workspace.rstrip("/")
         self.dim = dim

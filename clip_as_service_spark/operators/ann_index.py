@@ -40,26 +40,67 @@ from . import similarity as sim
 ANN_VERSION = 1
 
 
+def auto_ivf_k(n_vectors: int, max_k: int = 65536) -> int:
+    """Corpus-sized IVF cell count: ~⌈√N⌉, the standard coarse-quantizer
+    rule (cells ≈ per-cell rows ≈ √N balances probe reads against centroid
+    compares). Clamped to [1, max_k] — a coarse quantizer stays coarse
+    (≤ ~10^5 centroids live broadcast/driver-side). A FIXED k stops pruning
+    as N grows: 16 cells at 10^9 vectors reads N/16 rows per probe; √N
+    keeps a probe at ~nprobe·√N rows at every scale."""
+    import math
+
+    if n_vectors <= 0:
+        return 1
+    return max(1, min(max_k, math.isqrt(n_vectors - 1) + 1))
+
+
 def build_ann_index(
     spark: SparkSession,
     embeddings: DataFrame,
     out_dir: str,
     dim: int,
-    rh_n_bits: int = 16,
+    rh_n_bits: int | None = None,
     rh_n_tables: int = 1,
     rh_seed: int = 42,
     sign_round_dp: int | None = None,
     ivf_centroids: DataFrame | None = None,
-    ivf_k: int = 16,
+    ivf_k: int | None = None,
     ivf_n_iter: int = 5,
     ivf_train_sample: float | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     meta_cols: tuple[str, ...] = (),
+    store_vectors: bool = True,
 ) -> IndexStorage:
     """Build (resumably) the persisted ANN structures over an embedding
     table. Each stage is a durable idempotent parquet write (`_SUCCESS` =
     checkpoint), mirroring index_build.
+
+    ``store_vectors=False`` — COMPACT PAYLOAD: rh_buckets stores
+    (vec_id, *meta_cols, tbl, bucket) only, instead of materializing
+    n_tables full copies of every vector (client default rh_n_tables=8 →
+    an 8×-the-corpus index). ivf_cells keeps the ONE authoritative vector
+    copy; the RH probe then re-ranks by fetching candidate vectors from it
+    with one keyed join (rh_topk_stored) / a vec_id-filtered pyarrow read
+    (AnnReader). Trade, stated: the id-only probe adds that fetch join per
+    query batch — right at 10^8+ vectors where index bytes dominate; the
+    full-payload default stays right when storage is cheap and probe
+    latency is king. Bytes-on-disk for both are reported in BENCH.
+
+    SIZING: ``rh_n_bits=None`` / ``ivf_k=None`` (the defaults) size the
+    index FROM THE CORPUS with one count job at build time —
+    ``auto_n_bits(N)`` (the same rule rh_cosine_pairs applies; AnnLite
+    likewise sizes its cell table with the corpus, retriever.md:161-168)
+    and ``auto_ivf_k(N)`` ≈ ⌈√N⌉. The chosen values are persisted in
+    ``_meta.json`` (plus ``n_at_build``), so every query path and append
+    uses exactly the built geometry. Explicit values skip the count
+    (cross-engine oracles pass them for a deterministic plan).
+
+    RESUME: when ``_meta.json`` already exists the stored config WINS (the
+    cells on disk were assigned under it) — but a re-call whose explicit
+    arguments CONTRADICT it raises ValueError instead of silently building
+    under the old geometry. Pass the same arguments (or the None autos) to
+    resume.
 
     ``ivf_centroids``: pass a pre-trained (cell_id, centroid) quantizer, or
     leave None to train a sampled deterministic k-means (kmeans_centroids)
@@ -74,6 +115,18 @@ def build_ann_index(
     """
     store = IndexStorage(out_dir)
     if not store.has_meta():
+        n_at_build = None
+        if rh_n_bits is None:
+            n_at_build = embeddings.count()
+            rh_n_bits = sim.auto_n_bits(n_at_build)
+        if ivf_k is None:
+            if ivf_centroids is not None:
+                # a pre-trained quantizer fixes the cell count itself
+                ivf_k = ivf_centroids.count()
+            else:
+                if n_at_build is None:
+                    n_at_build = embeddings.count()
+                ivf_k = auto_ivf_k(n_at_build)
         store.write_meta(
             {
                 "kind": "ann",
@@ -86,10 +139,27 @@ def build_ann_index(
                 "ivf_n_iter": ivf_n_iter,
                 "ivf_train_sample": ivf_train_sample,
                 "meta_cols": list(meta_cols),
+                "rh_store_vectors": store_vectors,
+                "n_at_build": n_at_build,
                 "version": ANN_VERSION,
             }
         )
     meta = store.read_meta()
+    _check_build_config(
+        meta,
+        {
+            "dim": dim,
+            "rh_n_bits": rh_n_bits,
+            "rh_n_tables": rh_n_tables,
+            "rh_seed": rh_seed,
+            "sign_round_dp": sign_round_dp,
+            "ivf_k": ivf_k,
+            "ivf_n_iter": ivf_n_iter,
+            "ivf_train_sample": ivf_train_sample,
+            "meta_cols": list(meta_cols),
+            "rh_store_vectors": store_vectors,
+        },
+    )
     mcols = tuple(meta.get("meta_cols", ()))
     target = spark.sparkContext.defaultParallelism * 2
 
@@ -138,13 +208,45 @@ def build_ann_index(
     return store
 
 
+def _check_build_config(meta: dict, passed: dict) -> None:
+    """Resume guard: a re-call of build_ann_index whose EXPLICIT arguments
+    contradict the persisted config raises — the stored geometry always
+    wins (rows on disk were bucketed/assigned under it), and silently
+    serving under a different config than the caller asked for is the
+    failure mode this blocks. ``rh_n_bits``/``ivf_k`` passed as None mean
+    "defer to stored" (the auto-sizing defaults) and are never compared;
+    ``sign_round_dp``/``ivf_train_sample`` None is a real value (no
+    rounding / full-corpus training) and IS compared."""
+    defaults = {"rh_store_vectors": True}  # key absent in pre-v1.1 metas
+    mismatches = {
+        k: (meta.get(k, defaults.get(k)), v)
+        for k, v in passed.items()
+        if not (k in ("rh_n_bits", "ivf_k") and v is None)
+        and meta.get(k, defaults.get(k)) != v
+    }
+    if mismatches:
+        detail = ", ".join(
+            f"{k}: stored={s!r} passed={p!r}"
+            for k, (s, p) in sorted(mismatches.items())
+        )
+        raise ValueError(
+            "build_ann_index: index at this path was built under a "
+            f"different config ({detail}). Resume with the same arguments, "
+            "or rebuild into a fresh directory."
+        )
+
+
 def _rh_rows(
     embeddings: DataFrame, meta: dict, id_col: str, vec_col: str
 ) -> DataFrame:
-    """(vec_id, embedding, *meta_cols, tbl, bucket) rows under the index's
-    OWN plane config — the ONE bucketing used by build and append (a
-    divergence between the two would silently split the bucket space)."""
+    """(vec_id[, embedding], *meta_cols, tbl, bucket) rows under the
+    index's OWN plane config — the ONE bucketing used by build and append
+    (a divergence between the two would silently split the bucket space).
+    The embedding column is carried only when the index stores the full
+    payload (meta rh_store_vectors); id-only indexes fetch vectors from
+    ivf_cells at probe time."""
     mcols = tuple(meta.get("meta_cols", ()))
+    with_vec = meta.get("rh_store_vectors", True)
     n_bits, n_tables = meta["rh_n_bits"], meta["rh_n_tables"]
     planes_bits = n_bits * n_tables
     tables_d = [
@@ -157,11 +259,12 @@ def _rh_rows(
         )
         for t in range(n_tables)
     ]
+    vec_out = [F.col(vec_col).alias("embedding")] if with_vec else []
     return embeddings.select(
         id_col, vec_col, *mcols, F.explode(F.array(*tables_d)).alias("tb")
     ).select(
         F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("embedding"),
+        *vec_out,
         *mcols,
         F.col("tb.tbl").alias("tbl"),
         F.col("tb.bucket").alias("bucket"),
@@ -219,6 +322,22 @@ def append_ann_vectors(
     store = IndexStorage(index_dir)
     meta = store.read_meta()
     if validate_ids:
+        # the batch itself must be id-unique too — .distinct() below would
+        # otherwise HIDE two new rows sharing an id (appending both
+        # recreates the arbitrary-dedup-pick hazard this check exists for)
+        batch_dup = (
+            new_embeddings.groupBy(F.col(id_col).alias("vec_id"))
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if batch_dup:
+            raise ValueError(
+                f"append_ann_vectors: vec_id {batch_dup[0]['vec_id']} "
+                "appears more than once IN THE APPEND BATCH — ids must be "
+                "unique within the batch as well as against the index."
+            )
         new_ids = new_embeddings.select(F.col(id_col).alias("vec_id")).distinct()
         clash = (
             store.read(new_embeddings.sparkSession, "ivf_cells")
@@ -245,6 +364,66 @@ def append_ann_vectors(
         new_embeddings, cents, meta, id_col, vec_col
     ).sortWithinPartitions("cell_id", "vec_id")
     store.append(cells, "ivf_cells", partition_by=["cell_id"])
+
+
+def compact_ann_index(
+    spark: SparkSession, index_dir: str, retrain: bool = False
+) -> None:
+    """Compact a persisted ANN workspace — the ANN twin of the postings
+    side's `compact` verb. append_ann_vectors parquet-appends one file set
+    per call; a streaming ingest accumulates small files (scan-planning
+    overhead) and, over time, quantizer drift (new data assigned under an
+    old quantizer — recall slowly degrades). This rewrites both tables in
+    the canonical build layout (repartition to ~2×cores tasks, bucket/cell
+    sorted within files — the row-group-skipping the probes rely on), via
+    tmp-dir + swap so the read and the rewrite never collide.
+
+    ``retrain=True`` additionally retrains the coarse quantizer from the
+    CURRENT vectors under the stored config (same k / n_iter / sample /
+    deterministic init, so compact-with-retrain ≡ a fresh build over the
+    union — test-pinned) and reassigns every vector. RH buckets never
+    drift (planes are seed-deterministic), so the RH side only needs the
+    layout rewrite."""
+    store = IndexStorage(index_dir)
+    meta = store.read_meta()
+    mcols = tuple(meta.get("meta_cols", ()))
+    target = spark.sparkContext.defaultParallelism * 2
+
+    rows = store.read(spark, "rh_buckets")
+    splits = max(1, -(-target // max(meta["rh_n_tables"], 1)))
+    rows = rows.repartition(
+        target, F.col("tbl"), F.pmod(F.col("bucket"), F.lit(splits))
+    ).sortWithinPartitions("tbl", "bucket", "vec_id")
+    store.replace(rows, "rh_buckets", partition_by=["tbl"])
+
+    cells = store.read(spark, "ivf_cells")
+    cents_tmp = None
+    if retrain:
+        vecs = cells.select("vec_id", "embedding", *mcols)
+        cents = sim.kmeans_centroids(
+            vecs, k=meta["ivf_k"], n_iter=meta["ivf_n_iter"],
+            id_col="vec_id", vec_col="embedding",
+            sample=meta["ivf_train_sample"],
+        )
+        cents_tmp = store.write_tmp(
+            cents.select(
+                F.col("cell_id").cast("long").alias("cell_id"), "centroid"
+            ),
+            "ivf_centroids",
+        )
+        cells = _ivf_rows(vecs, cents, meta, "vec_id", "embedding")
+    n_cells = max(int(meta["ivf_k"]), 1)
+    splits = max(1, -(-target // n_cells))
+    cells = cells.repartition(
+        target, F.col("cell_id"), F.pmod(F.col("vec_id"), F.lit(splits))
+    ).sortWithinPartitions("cell_id", "vec_id")
+    # run ALL rewrite jobs before swapping either table: the quantizer and
+    # the cell assignments must change together (a probe against new
+    # centroids over old assignments — or vice versa — returns wrong cells)
+    cells_tmp = store.write_tmp(cells, "ivf_cells", partition_by=["cell_id"])
+    if cents_tmp is not None:
+        store.swap("ivf_centroids", cents_tmp)
+    store.swap("ivf_cells", cells_tmp)
 
 
 class AnnReader:
@@ -316,11 +495,7 @@ class AnnReader:
         dots = self._planes @ np.asarray(qvec, dtype=np.float64)
         dp = self.meta.get("sign_round_dp")
         if dp is not None:
-            # Spark F.round = decimal HALF_UP (half away from zero); numpy's
-            # np.round is half-to-even and would flip the sign of e.g.
-            # -5e-10 differently — replicate Spark exactly
-            scale = 10.0 ** dp
-            dots = np.sign(dots) * np.floor(np.abs(dots) * scale + 0.5) / scale
+            dots = _round_half_up(dots, dp)
         probes = []
         for t in range(nt):
             bits = (dots[t * nb : (t + 1) * nb] >= 0).astype(np.int64)
@@ -348,8 +523,16 @@ class AnnReader:
             for rank, i in enumerate(order)
         ]
 
-    def search(self, qvec, k: int = 10, multi_probe: bool = True):
-        """RH probe → [(rank, vec_id, cosine)] — one pruned pyarrow read."""
+    def search(self, qvec, k: int = 10, multi_probe: bool = True, where=None):
+        """RH probe → [(rank, vec_id, cosine)] — one pruned pyarrow read
+        (id-only indexes add a vec_id-filtered fetch from ivf_cells for the
+        candidate vectors).
+
+        ``where``: optional pyarrow compute Expression over the stored
+        meta_cols (e.g. ``pc.field("label") == "news"``) — the AnnLite
+        filter-column shape, evaluated INSIDE the pruned scan, AND-composed
+        with the bucket predicate. Parity with rh_topk_stored(where=...)
+        is test-pinned."""
         import numpy as np
         import pyarrow.compute as pc
 
@@ -361,15 +544,40 @@ class AnnReader:
         for t, bs in sorted(by_tbl.items()):
             p = (pc.field("tbl") == t) & pc.field("bucket").isin(sorted(set(bs)))
             flt = p if flt is None else (flt | p)
-        tbl = self._rh_ds.to_table(filter=flt, columns=["vec_id", "embedding"])
-        ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
-        # candidates dedupe across tables before the re-rank
-        ids, first = np.unique(ids, return_index=True)
-        vecs = _list_col_to_2d(tbl.column("embedding"), self.meta["dim"])[first]
+        if where is not None:
+            flt = flt & where
+        if self.meta.get("rh_store_vectors", True):
+            tbl = self._rh_ds.to_table(
+                filter=flt, columns=["vec_id", "embedding"]
+            )
+            ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
+            # candidates dedupe across tables before the re-rank
+            ids, first = np.unique(ids, return_index=True)
+            vecs = _list_col_to_2d(tbl.column("embedding"), self.meta["dim"])[
+                first
+            ]
+        else:
+            id_tbl = self._rh_ds.to_table(filter=flt, columns=["vec_id"])
+            ids = np.unique(np.asarray(id_tbl.column("vec_id"), dtype=np.int64))
+            if len(ids) == 0:
+                return []
+            fetched = self._ivf_ds.to_table(
+                filter=pc.field("vec_id").isin([int(i) for i in ids]),
+                columns=["vec_id", "embedding"],
+            )
+            fids = np.asarray(fetched.column("vec_id"), dtype=np.int64)
+            order = np.argsort(fids)
+            ids = fids[order]
+            vecs = _list_col_to_2d(fetched.column("embedding"), self.meta["dim"])[
+                order
+            ]
         return self._rerank(ids, vecs, qvec, k)
 
-    def search_ivf(self, qvec, k: int = 10, nprobe: int = 2):
-        """IVF probe → [(rank, vec_id, cosine)] — reads nprobe cell dirs."""
+    def search_ivf(self, qvec, k: int = 10, nprobe: int = 2, where=None):
+        """IVF probe → [(rank, vec_id, cosine)] — reads nprobe cell dirs.
+
+        ``where``: optional pyarrow Expression over stored meta_cols,
+        AND-composed with the cell filter (see search)."""
         import numpy as np
         import pyarrow.compute as pc
 
@@ -380,16 +588,32 @@ class AnnReader:
             )
         q = np.asarray(qvec, dtype=np.float64)
         ccos = (self._centroids @ q) / (self._cent_norms * np.linalg.norm(q))
-        ccos = np.round(ccos, 9)  # same tie rounding as _nearest_cells
+        # same tie rounding as _nearest_cells: Spark F.round is decimal
+        # HALF_UP, numpy's np.round is half-to-even — an exact-half tie at
+        # 9dp would otherwise probe different cells than the stored path
+        ccos = _round_half_up(ccos, 9)
         order = np.lexsort((self._cell_ids, -ccos))[:nprobe]
         cells = sorted(int(self._cell_ids[i]) for i in order)
+        flt = pc.field("cell_id").isin(cells)
+        if where is not None:
+            flt = flt & where
         tbl = self._ivf_ds.to_table(
-            filter=pc.field("cell_id").isin(cells),
-            columns=["vec_id", "embedding"],
+            filter=flt, columns=["vec_id", "embedding"]
         )
         ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
         vecs = _list_col_to_2d(tbl.column("embedding"), self.meta["dim"])
         return self._rerank(ids, vecs, qvec, k)
+
+
+def _round_half_up(arr, dp: int):
+    """Replicate Spark F.round's decimal HALF_UP (half away from zero) on
+    an ndarray — numpy's np.round is half-to-even, which would resolve an
+    exact-half value (e.g. ±2.5e-9 at dp=9) to the OTHER neighbor and make
+    the reader probe different buckets/cells than the Spark paths."""
+    import numpy as np
+
+    scale = 10.0 ** dp
+    return np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale
 
 
 def _list_col_to_2d(col, dim: int):
@@ -508,6 +732,19 @@ def rh_topk_stored(
         data = data.where(where)
     joined = data.join(F.broadcast(q_local), ["tbl", "bucket"])
     cand = joined.dropDuplicates([q_id_col, "vec_id"])
+    if not meta.get("rh_store_vectors", True):
+        # id-only index: fetch candidate vectors from ivf_cells (the ONE
+        # stored copy). Distinct ids first so the corpus-side scan joins a
+        # broadcast id set (no corpus shuffle, no duplicated qvec rows);
+        # the surviving vectors are candidate-sized, so AQE broadcasts the
+        # final attach join on observed size.
+        cand_ids = cand.select("vec_id").distinct()
+        vecs = (
+            store.read(spark, "ivf_cells")
+            .join(F.broadcast(cand_ids), "vec_id")
+            .select("vec_id", "embedding")
+        )
+        cand = cand.join(vecs, "vec_id")
     scored = cand.select(
         F.col(q_id_col).alias("query_id"),
         "vec_id",

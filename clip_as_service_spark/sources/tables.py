@@ -49,6 +49,41 @@ class IndexStorage:
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.parquet(self.path(table))
 
+    def write_tmp(
+        self, df: DataFrame, table: str, partition_by: list[str] | None = None
+    ) -> str:
+        """Execute a rewrite of ``table`` into a sibling tmp dir (returns
+        its name for swap()) — the write phase of replace(). Needed because
+        Spark cannot overwrite a path that is an input of the writing plan,
+        and because a multi-table rewrite (e.g. quantizer + cells) must run
+        ALL its jobs before any directory is swapped."""
+        import shutil
+
+        tmp_table = f"{table}__compact_tmp"
+        shutil.rmtree(self.path(tmp_table), ignore_errors=True)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(tmp_table))
+        return tmp_table
+
+    def swap(self, table: str, tmp_table: str):
+        """Move a write_tmp() result into place (rm old + rename — a
+        filesystem-level instant, vs the minutes of the write jobs). Not
+        atomic across the two calls, but a crash in the gap leaves no
+        `_SUCCESS` at the final path, so exists() correctly reports the
+        stage incomplete and a resume rebuilds it."""
+        import shutil
+
+        final = self.path(table)
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(self.path(tmp_table), final)
+
+    def replace(self, df: DataFrame, table: str, partition_by: list[str] | None = None):
+        """Rewrite a table whose plan READS the same table (compaction):
+        write_tmp + swap in one step."""
+        self.swap(table, self.write_tmp(df, table, partition_by))
+
     def write_meta(self, meta: dict):
         os.makedirs(self.root, exist_ok=True)
         with open(os.path.join(self.root, "_meta.json"), "w") as fh:

@@ -247,3 +247,256 @@ def test_append_rejects_colliding_ids(spark, emb, ann_dir, tmp_path):
     shutil.copytree(ann_dir, out)
     with pytest.raises(ValueError, match="already\\s+exists in the index"):
         ann_index.append_ann_vectors(spark, out, emb.limit(3))
+
+
+def test_append_rejects_batch_internal_duplicates(spark, emb, ann_dir, tmp_path):
+    """A batch whose OWN rows share a vec_id must raise too — .distinct()
+    on the id column would otherwise hide the collision and append both
+    vectors under one id."""
+    import shutil
+
+    out = str(tmp_path / "ann_batchdup")
+    shutil.copytree(ann_dir, out)
+    fresh = emb.limit(2).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    dup = fresh.union(
+        fresh.limit(1).withColumn(
+            "embedding", F.transform("embedding", lambda x: x * 2)
+        )
+    )
+    with pytest.raises(ValueError, match="IN THE APPEND BATCH"):
+        ann_index.append_ann_vectors(spark, out, dup)
+
+
+def test_build_auto_sizes_from_corpus(spark, tmp_path):
+    """rh_n_bits=None / ivf_k=None size the index from the corpus (one
+    count job): auto_n_bits(N) and ~ceil(sqrt(N)) cells, persisted in
+    _meta.json — a fixed cell count stops pruning as N grows."""
+    import math
+
+    from clip_as_service_spark.sources.tables import IndexStorage
+
+    dim = 8
+    for n in (300, 5000):
+        emb_n = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda i: F.sin(F.col("id") * i + i).cast("double"),
+            ).alias("embedding"),
+        )
+        out = str(tmp_path / f"auto_{n}")
+        ann_index.build_ann_index(
+            spark, emb_n, out, dim=dim, ivf_n_iter=1
+        )
+        meta = IndexStorage(out).read_meta()
+        assert meta["n_at_build"] == n
+        assert meta["rh_n_bits"] == sim.auto_n_bits(n)
+        assert meta["ivf_k"] == ann_index.auto_ivf_k(n) == math.isqrt(n - 1) + 1
+    # the two sizes must actually choose DIFFERENT geometry
+    m300 = IndexStorage(str(tmp_path / "auto_300")).read_meta()
+    m5000 = IndexStorage(str(tmp_path / "auto_5000")).read_meta()
+    assert m300["ivf_k"] < m5000["ivf_k"]
+    assert m300["rh_n_bits"] < m5000["rh_n_bits"]
+
+
+def test_build_pretrained_quantizer_fixes_ivf_k(spark, emb, tmp_path):
+    """ivf_k=None with a pre-trained quantizer takes the quantizer's OWN
+    cell count (the geometry is already fixed), not the corpus rule."""
+    from clip_as_service_spark.sources.tables import IndexStorage
+
+    cents = sim.kmeans_centroids(emb, k=5, n_iter=1)
+    out = str(tmp_path / "ann_pretrained")
+    ann_index.build_ann_index(
+        spark, emb, out, dim=DIM, rh_n_bits=N_BITS, ivf_centroids=cents
+    )
+    assert IndexStorage(out).read_meta()["ivf_k"] == 5
+
+
+def test_build_config_mismatch_raises(spark, emb, ann_dir):
+    """Re-calling build_ann_index over an existing index with explicit
+    arguments that contradict the persisted config must raise — the rows
+    on disk were assigned under the stored geometry. Matching args (or the
+    None autos) resume silently."""
+    # same args → resume, no raise
+    ann_index.build_ann_index(
+        spark, emb, ann_dir, dim=DIM,
+        rh_n_bits=N_BITS, rh_n_tables=N_TABLES, ivf_k=IVF_K, ivf_n_iter=3,
+    )
+    # None autos defer to stored → no raise
+    ann_index.build_ann_index(
+        spark, emb, ann_dir, dim=DIM,
+        rh_n_bits=None, rh_n_tables=N_TABLES, ivf_k=None, ivf_n_iter=3,
+    )
+    with pytest.raises(ValueError, match="rh_seed"):
+        ann_index.build_ann_index(
+            spark, emb, ann_dir, dim=DIM,
+            rh_n_bits=N_BITS, rh_n_tables=N_TABLES, ivf_k=IVF_K,
+            ivf_n_iter=3, rh_seed=7,
+        )
+
+
+def test_round_half_up_matches_spark_not_numpy():
+    """_round_half_up must replicate Spark F.round (HALF_UP, away from
+    zero) — np.round's half-to-even resolves exact halves differently and
+    would probe different cells/buckets than the stored Spark paths."""
+    import numpy as np
+
+    vals = np.array([2.5e-9, -2.5e-9, 1.5e-9, -1.5e-9, 0.0])
+    got = ann_index._round_half_up(vals, 9)
+    want = np.array([3e-9, -3e-9, 2e-9, -2e-9, 0.0])
+    assert np.allclose(got, want, atol=1e-18)
+    # and np.round genuinely disagrees on the even-neighbor halves
+    assert not np.allclose(np.round(vals, 9), want, atol=1e-18)
+
+
+def test_id_only_payload_matches_full(spark, emb, queries, tmp_path):
+    """store_vectors=False: rh_buckets keeps (vec_id, meta, tbl, bucket)
+    only and the probe re-ranks by fetching candidate vectors from
+    ivf_cells — results must be identical to the full-payload index, and
+    the id-only rh_buckets must be materially smaller on disk."""
+    import os
+
+    full = str(tmp_path / "ann_full")
+    slim = str(tmp_path / "ann_slim")
+    for out, sv in ((full, True), (slim, False)):
+        ann_index.build_ann_index(
+            spark, emb, out, dim=DIM,
+            rh_n_bits=N_BITS, rh_n_tables=N_TABLES,
+            ivf_k=IVF_K, ivf_n_iter=3, meta_cols=("label",),
+            store_vectors=sv,
+        )
+    got = ann_index.rh_topk_stored(spark, slim, queries, k=K)
+    want = ann_index.rh_topk_stored(spark, full, queries, k=K)
+    assert _rows(got) == _rows(want)
+    assert _rows(got)
+    # filtered search works through the id-only path too
+    got_f = ann_index.rh_topk_stored(spark, slim, queries, k=K, where="label = 3")
+    want_f = ann_index.rh_topk_stored(spark, full, queries, k=K, where="label = 3")
+    assert _rows(got_f) == _rows(want_f)
+    assert _rows(got_f)
+
+    def _bytes(root, table):
+        total = 0
+        for dp, _, fns in os.walk(os.path.join(root, table)):
+            total += sum(
+                os.path.getsize(os.path.join(dp, f))
+                for f in fns
+                if f.endswith(".parquet")
+            )
+        return total
+
+    assert _bytes(slim, "rh_buckets") < 0.5 * _bytes(full, "rh_buckets")
+    # ivf_cells (the single vector copy) is the same either way
+    assert abs(_bytes(slim, "ivf_cells") - _bytes(full, "ivf_cells")) < 0.2 * _bytes(
+        full, "ivf_cells"
+    )
+
+
+def test_reader_where_and_id_only_parity(spark, emb, queries, tmp_path):
+    """AnnReader filtered search (pyarrow `where=`) must match the Spark
+    stored paths' `where=` — on both the full-payload and id-only
+    layouts."""
+    import pyarrow.compute as pc
+
+    pred_sql, pred_pa = "label = 3", pc.field("label") == 3
+    q_rows = queries.collect()
+    for sv in (True, False):
+        out = str(tmp_path / f"ann_rdr_{int(sv)}")
+        ann_index.build_ann_index(
+            spark, emb, out, dim=DIM,
+            rh_n_bits=N_BITS, rh_n_tables=N_TABLES,
+            ivf_k=IVF_K, ivf_n_iter=3, sign_round_dp=9,
+            meta_cols=("label",), store_vectors=sv,
+        )
+        reader = ann_index.AnnReader(out)
+        spark_rh = {}
+        for r in ann_index.rh_topk_stored(
+            spark, out, queries, k=K, where=pred_sql
+        ).collect():
+            spark_rh.setdefault(r["query_id"], []).append(
+                (r["rank"], r["vec_id"], round(r["cosine"], 9))
+            )
+        spark_ivf = {}
+        for r in ann_index.ivf_topk_stored(
+            spark, out, queries, k=K, nprobe=2, where=pred_sql
+        ).collect():
+            spark_ivf.setdefault(r["query_id"], []).append(
+                (r["rank"], r["vec_id"], round(r["cosine"], 9))
+            )
+        for qr in q_rows:
+            got = [
+                (rk, vid, round(c, 9))
+                for rk, vid, c in reader.search(qr["qvec"], k=K, where=pred_pa)
+            ]
+            assert got == sorted(spark_rh.get(qr["query_id"], [])), (sv, qr["query_id"])
+            got_ivf = [
+                (rk, vid, round(c, 9))
+                for rk, vid, c in reader.search_ivf(
+                    qr["qvec"], k=K, nprobe=2, where=pred_pa
+                )
+            ]
+            assert got_ivf == sorted(spark_ivf.get(qr["query_id"], [])), (
+                sv, qr["query_id"],
+            )
+        assert any(spark_rh.values()) and any(spark_ivf.values())
+
+
+def _parquet_files(root, table):
+    import os
+
+    return [
+        os.path.join(dp, f)
+        for dp, _, fns in os.walk(os.path.join(root, table))
+        for f in fns
+        if f.endswith(".parquet")
+    ]
+
+
+def test_ann_compact_bounds_files_and_preserves_results(
+    spark, emb, queries, tmp_path
+):
+    """N appends accumulate one file set per call; ann-compact must rewrite
+    to a bounded layout WITHOUT changing any query result, and
+    retrain=True must equal a FRESH build over the union (deterministic
+    k-means: same init, same config)."""
+    out = str(tmp_path / "ann_cpt")
+    thirds = [emb.filter(F.col("vec_id") % 3 == r) for r in range(3)]
+    ann_index.build_ann_index(
+        spark, thirds[0], out, dim=DIM,
+        rh_n_bits=N_BITS, rh_n_tables=N_TABLES, ivf_k=IVF_K, ivf_n_iter=3,
+    )
+    ann_index.append_ann_vectors(spark, out, thirds[1])
+    ann_index.append_ann_vectors(spark, out, thirds[2])
+
+    before_files = len(_parquet_files(out, "rh_buckets"))
+    rh_before = _rows(ann_index.rh_topk_stored(spark, out, queries, k=K))
+    ivf_before = _rows(
+        ann_index.ivf_topk_stored(spark, out, queries, k=K, nprobe=2)
+    )
+    assert rh_before and ivf_before
+
+    ann_index.compact_ann_index(spark, out)
+    after_files = len(_parquet_files(out, "rh_buckets"))
+    assert after_files < before_files
+    # layout-only compaction: results bit-identical
+    assert _rows(ann_index.rh_topk_stored(spark, out, queries, k=K)) == rh_before
+    assert (
+        _rows(ann_index.ivf_topk_stored(spark, out, queries, k=K, nprobe=2))
+        == ivf_before
+    )
+
+    # retrain ≡ fresh build over the union
+    fresh = str(tmp_path / "ann_cpt_fresh")
+    ann_index.build_ann_index(
+        spark, emb, fresh, dim=DIM,
+        rh_n_bits=N_BITS, rh_n_tables=N_TABLES, ivf_k=IVF_K, ivf_n_iter=3,
+    )
+    ann_index.compact_ann_index(spark, out, retrain=True)
+    assert _rows(
+        ann_index.ivf_topk_stored(spark, out, queries, k=K, nprobe=2)
+    ) == _rows(ann_index.ivf_topk_stored(spark, fresh, queries, k=K, nprobe=2))
+    assert _rows(ann_index.rh_topk_stored(spark, out, queries, k=K)) == _rows(
+        ann_index.rh_topk_stored(spark, fresh, queries, k=K)
+    )

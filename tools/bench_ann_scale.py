@@ -114,6 +114,44 @@ def main() -> None:
     out["ivf_speedup"] = round(
         out["ivf_recomputed_sec"] / out["ivf_stored_sec"], 1
     )
+
+    # AUTO-SIZED build: geometry chosen from the corpus (auto_n_bits(N),
+    # ivf_k ≈ ⌈√N⌉) — the N-scaled pruning a fixed k loses; report the
+    # chosen geometry and the probe times through it, plus the id-only
+    # payload bytes (store_vectors=False: vectors live once, in ivf_cells)
+    auto_dir = f"{WORK}/idx_auto_n{n}_d{dim}"
+    shutil.rmtree(auto_dir, ignore_errors=True)
+    t0 = time.perf_counter()
+    ann_index.build_ann_index(
+        spark, emb, auto_dir, dim=dim, rh_n_tables=4,
+        ivf_n_iter=4, ivf_train_sample=min(1.0, 100_000 / n),
+        store_vectors=False,
+    )
+    out["auto_build_sec"] = round(time.perf_counter() - t0, 2)
+    auto_meta = IndexStorage(auto_dir).read_meta()
+    out["auto_rh_n_bits"] = auto_meta["rh_n_bits"]
+    out["auto_ivf_k"] = auto_meta["ivf_k"]
+    out["auto_rh_stored_idonly_sec"] = timed(
+        lambda: ann_index.rh_topk_stored(spark, auto_dir, queries, k=10)
+    )
+    out["auto_ivf_stored_sec"] = timed(
+        lambda: ann_index.ivf_topk_stored(
+            spark, auto_dir, queries, k=10, nprobe=4
+        )
+    )
+
+    def _tbl_bytes(root: str, table: str) -> int:
+        total = 0
+        for dp, _, fns in os.walk(os.path.join(root, table)):
+            total += sum(
+                os.path.getsize(os.path.join(dp, f))
+                for f in fns if f.endswith(".parquet")
+            )
+        return total
+
+    out["rh_buckets_bytes_full_4t"] = _tbl_bytes(ann_dir, "rh_buckets")
+    out["rh_buckets_bytes_idonly_4t"] = _tbl_bytes(auto_dir, "rh_buckets")
+    out["ivf_cells_bytes"] = _tbl_bytes(auto_dir, "ivf_cells")
     print(json.dumps(out))
     spark.stop()
 
