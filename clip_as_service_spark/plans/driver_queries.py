@@ -671,6 +671,161 @@ FROM grid g LEFT JOIN comp c ON g.doc_id = c.doc_id AND g.i = c.i
 """
 
 
+HYBRID_POOL = 20  # per-arm candidate pool fed into the fusion
+HYBRID_RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+HYBRID_DIM = 64  # == RH_DIM == the embeddings table's component count
+
+
+def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval: BM25 (lexical arm) fused with embedding cosine
+    (semantic arm) by reciprocal-rank fusion — the reference attaches BOTH
+    `clip_score` and `clip_score_cosine` to every match
+    (executors/helper.py:107-114); this completes the pairing into one
+    ranked results page. Query vectors come from the deterministic encode
+    verb (hash_embed over the query text, the engine's encode→search flow);
+    the semantic arm scores them against the embeddings table (vec_id ==
+    doc_id in the test corpus). Each arm keeps its top-HYBRID_POOL, the
+    arms full-outer join on (query_id, doc_id), and
+
+        rrf = Σ_arm 1 / (HYBRID_RRF_K + rank_arm)
+
+    — rank-based fusion, so the two engines' incomparable score scales
+    never mix. Scale shape: the lexical arm is the bm25_topk plan; the
+    semantic arm is one broadcast of |queries| hashed vectors against the
+    embeddings scan (at rest this arm is rh/ivf_topk_stored over the
+    persisted ANN index — the brute-force scoring here doubles as the
+    oracle-checkable form); the fusion join is per-query top-pool rows,
+    tiny by construction."""
+    from ..operators.encode import hash_embed
+
+    bm25 = _bm25_scores(spark, sf_dir)
+    wb = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("score"), 9)), F.asc("doc_id")
+    )
+    lex = (
+        bm25.withColumn("rank_bm25", F.row_number().over(wb))
+        .filter(F.col("rank_bm25") <= HYBRID_POOL)
+        .select(
+            "query_id", F.col("doc_id").cast("long").alias("doc_id"),
+            "rank_bm25",
+        )
+    )
+
+    qe = hash_embed(_queries_df(spark), "query_id", "qtext", dim=HYBRID_DIM)
+    qe = qe.select(
+        F.col("id").alias("query_id"), F.col("embedding").alias("qvec")
+    ).filter(F.exists("qvec", lambda x: x != 0))  # zero vector has no cosine
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("demb"),
+    )
+    cos = emb.crossJoin(F.broadcast(qe)).select(
+        "query_id",
+        F.col("vec_id").cast("long").alias("doc_id"),
+        _sim.cosine_col(F.col("demb"), F.col("qvec")).alias("cosine"),
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cosine"), 9)), F.asc("doc_id")
+    )
+    sem = (
+        cos.withColumn("rank_cos", F.row_number().over(wc))
+        .filter(F.col("rank_cos") <= HYBRID_POOL)
+        .select("query_id", "doc_id", "rank_cos")
+    )
+
+    arms = lex.join(sem, ["query_id", "doc_id"], "full_outer")
+    fused = arms.select(
+        "query_id",
+        "doc_id",
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(HYBRID_RRF_K) + F.col("rank_bm25")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(HYBRID_RRF_K) + F.col("rank_cos")),
+                F.lit(0.0),
+            ),
+            9,
+        ).alias("rrf"),
+        F.coalesce(F.col("rank_bm25"), F.lit(0)).cast("int").alias("rank_bm25"),
+        F.coalesce(F.col("rank_cos"), F.lit(0)).cast("int").alias("rank_cos"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= TOPK)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            "rrf",
+            "rank_bm25",
+            "rank_cos",
+        )
+    )
+
+
+SQL_HYBRID_TOPK = f"""
+{_SQL_BM25_SCORES}
+, bm25rank AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(score, 9) DESC, doc_id) AS rank_bm25
+  FROM scored),
+qtok AS (SELECT query_id, unnest(string_split(qtext, ' ')) AS term
+         FROM {_queries_values_sql()}),
+qcomp AS (
+  SELECT query_id,
+         ('0x' || substr(md5(term), 1, 15))::BIGINT % {HYBRID_DIM} AS i,
+         sum(CASE WHEN ('0x' || substr(md5(term), 17, 1))::BIGINT % 2 = 0
+                  THEN 1.0 ELSE -1.0 END) AS v
+  FROM qtok WHERE term <> '' GROUP BY query_id, i),
+qnorm AS (SELECT query_id, sqrt(sum(v * v)) AS nq FROM qcomp GROUP BY query_id),
+dcomp AS (
+  SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS v FROM (
+    SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i
+    FROM embeddings)),
+dnorm AS (SELECT vec_id, sqrt(sum(v * v)) AS nd FROM dcomp GROUP BY vec_id),
+dots AS (
+  SELECT q.query_id, d.vec_id, sum(q.v * d.v) AS dot
+  FROM qcomp q JOIN dcomp d ON q.i = d.i
+  GROUP BY q.query_id, d.vec_id),
+cos AS (
+  SELECT dots.query_id, dots.vec_id AS doc_id, dot / (nq * nd) AS cosine
+  FROM dots
+  JOIN qnorm ON dots.query_id = qnorm.query_id
+  JOIN dnorm ON dots.vec_id = dnorm.vec_id
+  WHERE nq > 0 AND nd > 0),
+cosrank AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY round(cosine, 9) DESC, doc_id) AS rank_cos
+  FROM cos),
+arms AS (
+  SELECT coalesce(b.query_id, c.query_id) AS query_id,
+         coalesce(b.doc_id, c.doc_id) AS doc_id,
+         b.rank_bm25, c.rank_cos
+  FROM (SELECT * FROM bm25rank WHERE rank_bm25 <= {HYBRID_POOL}) b
+  FULL OUTER JOIN (SELECT * FROM cosrank WHERE rank_cos <= {HYBRID_POOL}) c
+    ON b.query_id = c.query_id AND b.doc_id = c.doc_id),
+fused AS (
+  SELECT query_id, doc_id,
+         round(coalesce(1.0 / ({HYBRID_RRF_K} + rank_bm25), 0)
+               + coalesce(1.0 / ({HYBRID_RRF_K} + rank_cos), 0), 9) AS rrf,
+         CAST(coalesce(rank_bm25, 0) AS INT) AS rank_bm25,
+         CAST(coalesce(rank_cos, 0) AS INT) AS rank_cos
+  FROM arms),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, doc_id) AS rank
+  FROM fused)
+SELECT query_id, CAST(rank AS INT) AS rank, CAST(doc_id AS BIGINT) AS doc_id,
+       rrf, rank_bm25, rank_cos
+FROM ranked WHERE rank <= {TOPK}
+"""
+
+
 SNIP_K = 3
 SNIP_BEFORE = 3
 SNIP_WIDTH = 8
@@ -1807,6 +1962,7 @@ REGISTRY: dict[str, tuple] = {
     "search_snippets": (q_search_snippets, SQL_SEARCH_SNIPPETS),
     "search_snippets_k": (q_search_snippets_k, SQL_SEARCH_SNIPPETS_K),
     "encode_hash_embed": (q_encode_hash_embed, SQL_ENCODE_HASH_EMBED),
+    "hybrid_topk": (q_hybrid_topk, SQL_HYBRID_TOPK),
 }
 
 

@@ -156,18 +156,28 @@ def compact_streamed_index(
             # pick would build a doc mixing old and new content
             .dropDuplicates()
         )
-        # two generations are detectable by EITHER a duplicate (doc_id,
-        # term) row or >1 distinct dl per doc (dl is a per-generation
-        # constant — disjoint-vocabulary rewrites still differ here unless
-        # token counts coincide exactly, the one residual blind spot)
+        # two generations are detectable by a duplicate (doc_id, term) row,
+        # >1 distinct dl per doc (dl is a per-generation constant), or —
+        # the case that closes the disjoint-equal-dl blind spot — sum(tf)
+        # != dl: dl IS the generation's token count (build_postings), so a
+        # clean doc always satisfies Σtf == dl, while any silently merged
+        # second generation inflates Σtf past it (disjoint vocabularies:
+        # Σtf = dl_a + dl_b; partial overlap is caught by the duplicate-row
+        # check first). Zero-token sentinels (tf NULL, dl 0) coalesce to 0.
         conflict = (
             posts.groupBy("doc_id")
             .agg(
                 F.count_distinct("dl").alias("ndl"),
                 F.count("term").alias("nt"),
                 F.count_distinct("term").alias("ndt"),
+                F.coalesce(F.sum("tf"), F.lit(0)).alias("stf"),
+                F.max("dl").alias("mdl"),
             )
-            .filter((F.col("ndl") > 1) | (F.col("nt") > F.col("ndt")))
+            .filter(
+                (F.col("ndl") > 1)
+                | (F.col("nt") > F.col("ndt"))
+                | (F.col("stf") != F.col("mdl"))
+            )
             .limit(1)
             .count()
         )

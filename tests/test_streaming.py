@@ -398,3 +398,47 @@ def test_sessionize_stream_out_of_order_fails_fast(spark, tmp_path):
             spark, ev_dir, "ooo_sessions", watermark_delay="2 hours"
         )
     assert "ordered-ingest contract violated" in str(ei.value)
+
+
+def test_stream_compaction_disjoint_equal_dl_rewrite_raises(spark, tmp_path):
+    """The residual blind spot r04 documented: a same-ts rewrite with a
+    DISJOINT vocabulary but the SAME token count slips past the dl and
+    duplicate-row checks — the Σtf == dl invariant (dl IS the generation's
+    token count) must catch it."""
+    import pytest as _pytest
+
+    from clip_as_service_spark.textnorm import tokenize_words
+
+    pages = fixtures.make_pages(6)
+    n_tokens = len(tokenize_words(pages[0]["text"]))
+    assert n_tokens > 0
+    rewrite = dict(pages[0])
+    # same token count, fully disjoint vocabulary, same warc_ts
+    # pure-letter tokens (the tokenizer splits letter/digit boundaries)
+    rewrite["text"] = " ".join(
+        "qxzz" + chr(ord("a") + i // 26) + chr(ord("a") + i % 26)
+        for i in range(n_tokens)
+    )
+    assert set(tokenize_words(rewrite["text"])).isdisjoint(
+        tokenize_words(pages[0]["text"])
+    )
+    assert len(tokenize_words(rewrite["text"])) == n_tokens
+
+    in_dir, out_dir, cp_dir = (
+        str(tmp_path / d) for d in ("in", "posts", "cp")
+    )
+    _write_chunk(spark, pages, in_dir)
+    q = incremental.start_postings_stream(
+        spark, in_dir, out_dir, cp_dir, carry_ts=True
+    )
+    q.awaitTermination(120)
+    _write_chunk(spark, [rewrite], in_dir)
+    q = incremental.start_postings_stream(
+        spark, in_dir, out_dir, cp_dir, carry_ts=True
+    )
+    q.awaitTermination(120)
+    with _pytest.raises(ValueError, match="conflicting posting generations"):
+        incremental.compact_streamed_index(
+            spark, out_dir, str(tmp_path / "bad_idx"),
+            n_shards=4, salt_cutoff=30, target_sublist=20,
+        )
