@@ -179,6 +179,33 @@ def cmd_ann_build(args) -> int:
     return 0
 
 
+def cmd_hybrid_search(args) -> int:
+    spark = _spark(args)
+    spark.sparkContext.setLogLevel("WARN")
+    from .operators.fusion import hybrid_search_stored
+
+    queries: list[tuple[int, str]] = []
+    if args.query:
+        queries.append((0, args.query))
+    if args.queries_tsv:
+        with open(args.queries_tsv) as fh:
+            for i, line in enumerate(fh):
+                qid, _, text = line.rstrip("\n").partition("\t")
+                queries.append((int(qid) if qid.isdigit() else i, text))
+    if not queries:
+        print("no query given (use --query or --queries-tsv)", file=sys.stderr)
+        return 2
+    qdf = spark.createDataFrame(queries, "query_id int, text string")
+    out = hybrid_search_stored(
+        spark, args.text_index, args.ann_index, qdf,
+        k=args.k, pool=args.pool, ann_method=args.ann_method,
+        nprobe=args.nprobe,
+    )
+    for r in out.orderBy("query_id", "rank").collect():
+        print(json.dumps(r.asDict()))
+    return 0
+
+
 def cmd_ann_compact(args) -> int:
     spark = _spark(args)
     spark.sparkContext.setLogLevel("WARN")
@@ -286,6 +313,21 @@ def main(argv: list[str] | None = None) -> int:
     ac.add_argument("--index", required=True)
     ac.add_argument("--retrain", action="store_true")
     ac.set_defaults(fn=cmd_ann_compact)
+
+    hy = sub.add_parser(
+        "hybrid-search",
+        help="BM25 + embedding hybrid top-k through the persisted indexes "
+        "(WAND block index + stored ANN, reciprocal-rank fusion)",
+    )
+    hy.add_argument("--text-index", required=True)
+    hy.add_argument("--ann-index", required=True)
+    hy.add_argument("--query")
+    hy.add_argument("--queries-tsv")
+    hy.add_argument("-k", type=int, default=10)
+    hy.add_argument("--pool", type=int, default=20)
+    hy.add_argument("--ann-method", default="rh", choices=["rh", "ivf"])
+    hy.add_argument("--nprobe", type=int, default=2)
+    hy.set_defaults(fn=cmd_hybrid_search)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -733,36 +733,19 @@ def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", "rank_cos")
     )
 
-    arms = lex.join(sem, ["query_id", "doc_id"], "full_outer")
-    fused = arms.select(
-        "query_id",
-        "doc_id",
-        F.round(
-            F.coalesce(
-                F.lit(1.0) / (F.lit(HYBRID_RRF_K) + F.col("rank_bm25")),
-                F.lit(0.0),
-            )
-            + F.coalesce(
-                F.lit(1.0) / (F.lit(HYBRID_RRF_K) + F.col("rank_cos")),
-                F.lit(0.0),
+    from ..operators.fusion import rrf_fuse
+
+    return rrf_fuse(
+        {
+            "bm25": lex.select(
+                "query_id", "doc_id", F.col("rank_bm25").alias("rank")
             ),
-            9,
-        ).alias("rrf"),
-        F.coalesce(F.col("rank_bm25"), F.lit(0)).cast("int").alias("rank_bm25"),
-        F.coalesce(F.col("rank_cos"), F.lit(0)).cast("int").alias("rank_cos"),
-    )
-    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
-    return (
-        fused.withColumn("rank", F.row_number().over(wf))
-        .filter(F.col("rank") <= TOPK)
-        .select(
-            "query_id",
-            F.col("rank").cast("int").alias("rank"),
-            "doc_id",
-            "rrf",
-            "rank_bm25",
-            "rank_cos",
-        )
+            "cos": sem.select(
+                "query_id", "doc_id", F.col("rank_cos").alias("rank")
+            ),
+        },
+        k=TOPK,
+        rrf_k=HYBRID_RRF_K,
     )
 
 
