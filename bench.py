@@ -260,6 +260,21 @@ def main() -> None:
     ann_stored["rh_buckets_bytes_idonly"] = _tbl_bytes(slim_dir, "rh_buckets")
     ann_stored["ivf_cells_bytes"] = _tbl_bytes(slim_dir, "ivf_cells")
 
+    # PQ payload: ADC scoring + bounded exact re-rank (rerank=50 of ~
+    # hundreds of candidates) — report probe time + bytes next to the
+    # other two layouts
+    pq_dir = "/tmp/bench_ann_pq"
+    _sh.rmtree(pq_dir, ignore_errors=True)
+    annx.build_ann_index(
+        spark, emb, pq_dir, dim=dq.RH_DIM, rh_n_bits=8, rh_n_tables=8,
+        ivf_centroids=sim.kmeans_centroids(emb, k=16, n_iter=5),
+        store_vectors=False, pq=True, pq_m=8, pq_codes=64, pq_n_iter=3,
+    )
+    ann_stored["rh_stored_pq_sec"] = _timed(
+        lambda: annx.rh_topk_stored(spark, pq_dir, q_ann, k=10, rerank=50)
+    )
+    ann_stored["rh_buckets_bytes_pq"] = _tbl_bytes(pq_dir, "rh_buckets")
+
     def _pair_set(df) -> set:
         return {(r["id_a"], r["id_b"]) for r in df.select("id_a", "id_b").collect()}
 

@@ -173,7 +173,11 @@ def cmd_ann_build(args) -> int:
         ivf_train_sample=args.ivf_sample,
         id_col=args.id_col,
         vec_col=args.vec_col,
-        store_vectors=not args.no_store_vectors,
+        store_vectors=not (args.no_store_vectors or args.pq),
+        pq=args.pq,
+        pq_m=args.pq_m,
+        pq_codes=args.pq_codes,
+        pq_train_sample=args.pq_sample,
     )
     print(json.dumps(store.read_meta()))
     return 0
@@ -303,6 +307,15 @@ def main(argv: list[str] | None = None) -> int:
         help="id-only rh_buckets payload (vectors fetched from ivf_cells "
         "at probe time) — n_tables x smaller index",
     )
+    a.add_argument(
+        "--pq", action="store_true",
+        help="product-quantized payload: m smallint codes per vector, "
+        "ADC candidate scoring + exact re-rank of survivors (implies "
+        "--no-store-vectors)",
+    )
+    a.add_argument("--pq-m", type=int, default=8)
+    a.add_argument("--pq-codes", type=int, default=256)
+    a.add_argument("--pq-sample", type=float, default=None)
     a.set_defaults(fn=cmd_ann_build)
 
     ac = sub.add_parser(

@@ -71,6 +71,11 @@ def build_ann_index(
     vec_col: str = "embedding",
     meta_cols: tuple[str, ...] = (),
     store_vectors: bool = True,
+    pq: bool = False,
+    pq_m: int = 8,
+    pq_codes: int = 256,
+    pq_n_iter: int = 5,
+    pq_train_sample: float | None = None,
 ) -> IndexStorage:
     """Build (resumably) the persisted ANN structures over an embedding
     table. Each stage is a durable idempotent parquet write (`_SUCCESS` =
@@ -86,6 +91,17 @@ def build_ann_index(
     query batch — right at 10^8+ vectors where index bytes dominate; the
     full-payload default stays right when storage is cheap and probe
     latency is king. Bytes-on-disk for both are reported in BENCH.
+
+    ``pq=True`` — PRODUCT-QUANTIZED PAYLOAD (implies id-only; mutually
+    exclusive with store_vectors=True): per-subspace codebooks are trained
+    (operators/pq, deterministic) and rh_buckets stores ``pq_m`` smallint
+    codes per vector instead of the vector. Probes score candidates by ADC
+    lookup (m table adds per candidate, no vector fetch), keep the
+    per-query top-``rerank`` by approximate cosine, and exact-re-rank only
+    those against ivf_cells — the FAISS IVF-PQ serving shape. With
+    rerank=None (fetch every candidate) results are bit-identical to the
+    full-payload index (exact scoring over the same candidate set); a
+    bounded rerank trades recall for fetch volume.
 
     SIZING: ``rh_n_bits=None`` / ``ivf_k=None`` (the defaults) size the
     index FROM THE CORPUS with one count job at build time —
@@ -113,6 +129,16 @@ def build_ann_index(
     paths) then evaluates the predicate inside the already-pruned scan,
     parquet-pushed, instead of joining a side table per query.
     """
+    if pq:
+        if store_vectors:
+            raise ValueError(
+                "build_ann_index: pq=True stores codes INSTEAD of vectors "
+                "— pass store_vectors=False (ivf_cells keeps the exact "
+                "copy for the re-rank)."
+            )
+        from . import pq as _pq_mod
+
+        _pq_mod._validate(dim, pq_m, pq_codes)
     store = IndexStorage(out_dir)
     if not store.has_meta():
         n_at_build = None
@@ -140,6 +166,11 @@ def build_ann_index(
                 "ivf_train_sample": ivf_train_sample,
                 "meta_cols": list(meta_cols),
                 "rh_store_vectors": store_vectors,
+                "pq": pq,
+                "pq_m": pq_m,
+                "pq_codes": pq_codes,
+                "pq_n_iter": pq_n_iter,
+                "pq_train_sample": pq_train_sample,
                 "n_at_build": n_at_build,
                 "version": ANN_VERSION,
             }
@@ -158,14 +189,33 @@ def build_ann_index(
             "ivf_train_sample": ivf_train_sample,
             "meta_cols": list(meta_cols),
             "rh_store_vectors": store_vectors,
+            "pq": pq,
+            "pq_m": pq_m,
+            "pq_codes": pq_codes,
+            "pq_n_iter": pq_n_iter,
+            "pq_train_sample": pq_train_sample,
         },
     )
     mcols = tuple(meta.get("meta_cols", ()))
     target = spark.sparkContext.defaultParallelism * 2
 
+    # -- PQ codebooks (trained BEFORE the bucket table needs the codes) -----
+    if meta.get("pq") and not store.exists("pq_codebooks"):
+        from . import pq as _pq
+
+        cb = _pq.train_pq_codebooks(
+            embeddings, meta["dim"], m=meta["pq_m"], n_codes=meta["pq_codes"],
+            n_iter=meta["pq_n_iter"], id_col=id_col, vec_col=vec_col,
+            sample=meta["pq_train_sample"],
+        )
+        store.write(cb, "pq_codebooks")
+
     # -- RH bucket tables ---------------------------------------------------
     if not store.exists("rh_buckets"):
-        rows = _rh_rows(embeddings, meta, id_col, vec_col)
+        codebooks = (
+            store.read(spark, "pq_codebooks") if meta.get("pq") else None
+        )
+        rows = _rh_rows(embeddings, meta, id_col, vec_col, codebooks=codebooks)
         # write granularity: partition dirs = n_tables only (2^n_bits bucket
         # dirs would explode the namespace at 20+ bits); bucket prunes via
         # the within-file sort instead. Sub-split each table by a bucket
@@ -217,7 +267,15 @@ def _check_build_config(meta: dict, passed: dict) -> None:
     "defer to stored" (the auto-sizing defaults) and are never compared;
     ``sign_round_dp``/``ivf_train_sample`` None is a real value (no
     rounding / full-corpus training) and IS compared."""
-    defaults = {"rh_store_vectors": True}  # key absent in pre-v1.1 metas
+    # keys absent in metas written before the option existed
+    defaults = {
+        "rh_store_vectors": True,
+        "pq": False,
+        "pq_m": 8,
+        "pq_codes": 256,
+        "pq_n_iter": 5,
+        "pq_train_sample": None,
+    }
     mismatches = {
         k: (meta.get(k, defaults.get(k)), v)
         for k, v in passed.items()
@@ -237,16 +295,30 @@ def _check_build_config(meta: dict, passed: dict) -> None:
 
 
 def _rh_rows(
-    embeddings: DataFrame, meta: dict, id_col: str, vec_col: str
+    embeddings: DataFrame,
+    meta: dict,
+    id_col: str,
+    vec_col: str,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
-    """(vec_id[, embedding], *meta_cols, tbl, bucket) rows under the
-    index's OWN plane config — the ONE bucketing used by build and append
-    (a divergence between the two would silently split the bucket space).
-    The embedding column is carried only when the index stores the full
-    payload (meta rh_store_vectors); id-only indexes fetch vectors from
-    ivf_cells at probe time."""
+    """(vec_id[, embedding | pq_code], *meta_cols, tbl, bucket) rows under
+    the index's OWN plane config — the ONE bucketing used by build and
+    append (a divergence between the two would silently split the bucket
+    space). Payload column by meta: full → the vector; pq → the m-smallint
+    PQ code (encoded under the GIVEN stored codebooks — required then);
+    ids → neither (vectors fetched from ivf_cells at probe time)."""
     mcols = tuple(meta.get("meta_cols", ()))
     with_vec = meta.get("rh_store_vectors", True)
+    with_pq = bool(meta.get("pq"))
+    if with_pq:
+        if codebooks is None:
+            raise ValueError("_rh_rows: pq index needs the stored codebooks")
+        from . import pq as _pq
+
+        codes = _pq.pq_encode(
+            embeddings, codebooks, meta["dim"], meta["pq_m"], id_col, vec_col
+        )
+        embeddings = embeddings.join(codes, id_col)
     n_bits, n_tables = meta["rh_n_bits"], meta["rh_n_tables"]
     planes_bits = n_bits * n_tables
     tables_d = [
@@ -259,12 +331,18 @@ def _rh_rows(
         )
         for t in range(n_tables)
     ]
-    vec_out = [F.col(vec_col).alias("embedding")] if with_vec else []
+    payload = []
+    if with_vec:
+        payload.append(F.col(vec_col).alias("embedding"))
+    if with_pq:
+        payload.append(F.col("pq_code"))
+    extra_in = ["pq_code"] if with_pq else []
     return embeddings.select(
-        id_col, vec_col, *mcols, F.explode(F.array(*tables_d)).alias("tb")
+        id_col, vec_col, *extra_in, *mcols,
+        F.explode(F.array(*tables_d)).alias("tb"),
     ).select(
         F.col(id_col).alias("vec_id"),
-        *vec_out,
+        *payload,
         *mcols,
         F.col("tb.tbl").alias("tbl"),
         F.col("tb.bucket").alias("bucket"),
@@ -354,9 +432,12 @@ def append_ann_vectors(
                 "Re-encoded docs need a rebuild; offset new ids (e.g. "
                 "client.encode(texts, id_offset=...))."
             )
-    rows = _rh_rows(new_embeddings, meta, id_col, vec_col).sortWithinPartitions(
-        "tbl", "bucket", "vec_id"
+    codebooks = (
+        store.read(spark, "pq_codebooks") if meta.get("pq") else None
     )
+    rows = _rh_rows(
+        new_embeddings, meta, id_col, vec_col, codebooks=codebooks
+    ).sortWithinPartitions("tbl", "bucket", "vec_id")
     store.append(rows, "rh_buckets", partition_by=["tbl"])
 
     cents = store.read(spark, "ivf_centroids")
@@ -381,23 +462,19 @@ def compact_ann_index(
     ``retrain=True`` additionally retrains the coarse quantizer from the
     CURRENT vectors under the stored config (same k / n_iter / sample /
     deterministic init, so compact-with-retrain ≡ a fresh build over the
-    union — test-pinned) and reassigns every vector. RH buckets never
-    drift (planes are seed-deterministic), so the RH side only needs the
-    layout rewrite."""
+    union — test-pinned) and reassigns every vector; a PQ index also
+    retrains its codebooks and re-encodes every code (the rh table is
+    rebuilt from ivf_cells — the exact copy). RH buckets themselves never
+    drift (planes are seed-deterministic), so without retrain the RH side
+    only needs the layout rewrite."""
     store = IndexStorage(index_dir)
     meta = store.read_meta()
     mcols = tuple(meta.get("meta_cols", ()))
     target = spark.sparkContext.defaultParallelism * 2
 
-    rows = store.read(spark, "rh_buckets")
-    splits = max(1, -(-target // max(meta["rh_n_tables"], 1)))
-    rows = rows.repartition(
-        target, F.col("tbl"), F.pmod(F.col("bucket"), F.lit(splits))
-    ).sortWithinPartitions("tbl", "bucket", "vec_id")
-    store.replace(rows, "rh_buckets", partition_by=["tbl"])
-
     cells = store.read(spark, "ivf_cells")
-    cents_tmp = None
+    rh_rows = store.read(spark, "rh_buckets")
+    cents_tmp = cb_tmp = None
     if retrain:
         vecs = cells.select("vec_id", "embedding", *mcols)
         cents = sim.kmeans_centroids(
@@ -412,17 +489,37 @@ def compact_ann_index(
             "ivf_centroids",
         )
         cells = _ivf_rows(vecs, cents, meta, "vec_id", "embedding")
+        if meta.get("pq"):
+            from . import pq as _pq
+
+            cb = _pq.train_pq_codebooks(
+                vecs, meta["dim"], m=meta["pq_m"],
+                n_codes=meta["pq_codes"], n_iter=meta["pq_n_iter"],
+                id_col="vec_id", vec_col="embedding",
+                sample=meta["pq_train_sample"],
+            )
+            cb_tmp = store.write_tmp(cb, "pq_codebooks")
+            rh_rows = _rh_rows(vecs, meta, "vec_id", "embedding", codebooks=cb)
+
+    splits = max(1, -(-target // max(meta["rh_n_tables"], 1)))
+    rh_rows = rh_rows.repartition(
+        target, F.col("tbl"), F.pmod(F.col("bucket"), F.lit(splits))
+    ).sortWithinPartitions("tbl", "bucket", "vec_id")
     n_cells = max(int(meta["ivf_k"]), 1)
     splits = max(1, -(-target // n_cells))
     cells = cells.repartition(
         target, F.col("cell_id"), F.pmod(F.col("vec_id"), F.lit(splits))
     ).sortWithinPartitions("cell_id", "vec_id")
-    # run ALL rewrite jobs before swapping either table: the quantizer and
-    # the cell assignments must change together (a probe against new
-    # centroids over old assignments — or vice versa — returns wrong cells)
+    # run ALL rewrite jobs before swapping ANY table: quantizer + cell
+    # assignments (and PQ codebooks + codes) must change together — a probe
+    # against new centroids over old assignments returns wrong cells
+    rh_tmp = store.write_tmp(rh_rows, "rh_buckets", partition_by=["tbl"])
     cells_tmp = store.write_tmp(cells, "ivf_cells", partition_by=["cell_id"])
     if cents_tmp is not None:
         store.swap("ivf_centroids", cents_tmp)
+    if cb_tmp is not None:
+        store.swap("pq_codebooks", cb_tmp)
+    store.swap("rh_buckets", rh_tmp)
     store.swap("ivf_cells", cells_tmp)
 
 
@@ -487,6 +584,20 @@ class AnnReader:
             self._cent_norms = np.linalg.norm(self._centroids, axis=1)
         else:
             self._cell_ids = None
+        self._pq_cb = None
+        if self.meta.get("pq") and self.store.exists("pq_codebooks"):
+            m, dsub = self.meta["pq_m"], self.meta["dim"] // self.meta["pq_m"]
+            tbl = pads.dataset(
+                self.store.path("pq_codebooks"), format="parquet"
+            ).to_table()
+            ss = np.asarray(tbl.column("subspace"), dtype=np.int64)
+            cc = np.asarray(tbl.column("code"), dtype=np.int64)
+            cents = _list_col_to_2d(tbl.column("centroid"), dsub)
+            n_codes = int(cc.max()) + 1 if len(cc) else 0
+            cb = np.zeros((m, n_codes, dsub))
+            cb[ss, cc] = cents
+            self._pq_cb = cb
+            self._pq_n2 = (cb * cb).sum(axis=2)  # (m, n_codes)
 
     def _query_buckets(self, qvec, multi_probe: bool = True) -> list[tuple[int, int]]:
         import numpy as np
@@ -523,10 +634,19 @@ class AnnReader:
             for rank, i in enumerate(order)
         ]
 
-    def search(self, qvec, k: int = 10, multi_probe: bool = True, where=None):
+    def search(
+        self,
+        qvec,
+        k: int = 10,
+        multi_probe: bool = True,
+        where=None,
+        rerank: int | None = None,
+    ):
         """RH probe → [(rank, vec_id, cosine)] — one pruned pyarrow read
         (id-only indexes add a vec_id-filtered fetch from ivf_cells for the
-        candidate vectors).
+        candidate vectors; PQ indexes ADC-score the codes first and fetch
+        only the top-``rerank`` — None keeps every candidate, matching the
+        full-payload result exactly).
 
         ``where``: optional pyarrow compute Expression over the stored
         meta_cols (e.g. ``pc.field("label") == "news"``) — the AnnLite
@@ -546,6 +666,8 @@ class AnnReader:
             flt = p if flt is None else (flt | p)
         if where is not None:
             flt = flt & where
+        if self.meta.get("pq"):
+            return self._search_pq(qvec, k, flt, rerank)
         if self.meta.get("rh_store_vectors", True):
             tbl = self._rh_ds.to_table(
                 filter=flt, columns=["vec_id", "embedding"]
@@ -561,17 +683,57 @@ class AnnReader:
             ids = np.unique(np.asarray(id_tbl.column("vec_id"), dtype=np.int64))
             if len(ids) == 0:
                 return []
-            fetched = self._ivf_ds.to_table(
-                filter=pc.field("vec_id").isin([int(i) for i in ids]),
-                columns=["vec_id", "embedding"],
-            )
-            fids = np.asarray(fetched.column("vec_id"), dtype=np.int64)
-            order = np.argsort(fids)
-            ids = fids[order]
-            vecs = _list_col_to_2d(fetched.column("embedding"), self.meta["dim"])[
-                order
-            ]
+            ids, vecs = self._fetch_vectors(ids)
         return self._rerank(ids, vecs, qvec, k)
+
+    def _fetch_vectors(self, ids):
+        """ids → (sorted ids, vectors) fetched from ivf_cells (the one
+        exact copy) via a vec_id-filtered pruned read."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        fetched = self._ivf_ds.to_table(
+            filter=pc.field("vec_id").isin([int(i) for i in ids]),
+            columns=["vec_id", "embedding"],
+        )
+        fids = np.asarray(fetched.column("vec_id"), dtype=np.int64)
+        order = np.argsort(fids)
+        return fids[order], _list_col_to_2d(
+            fetched.column("embedding"), self.meta["dim"]
+        )[order]
+
+    def _search_pq(self, qvec, k: int, flt, rerank: int | None):
+        """ADC over the stored codes, exact re-rank of the survivors —
+        the numpy twin of _pq_probe_topk."""
+        import numpy as np
+
+        m = self.meta["pq_m"]
+        dsub = self.meta["dim"] // m
+        tbl = self._rh_ds.to_table(filter=flt, columns=["vec_id", "pq_code"])
+        ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
+        ids, first = np.unique(ids, return_index=True)
+        if len(ids) == 0:
+            return []
+        codes = _list_col_to_2d(tbl.column("pq_code"), m).astype(np.int64)[
+            first
+        ]
+        q = np.asarray(qvec, dtype=np.float64)
+        qsub = q.reshape(m, dsub)
+        # (m, n_codes) partial dots: lut[s, c] = q_s · cb[s, c]
+        lut = np.einsum("sd,skd->sk", qsub, self._pq_cb)
+        srange = np.arange(m)
+        dots = lut[srange, codes].sum(axis=1)
+        n2 = self._pq_n2[srange, codes].sum(axis=1)
+        qn = np.linalg.norm(q)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            approx = np.where(
+                (n2 > 0) & (qn > 0), dots / (qn * np.sqrt(n2)), -np.inf
+            )
+        if rerank is not None and rerank < len(ids):
+            sel = np.lexsort((ids, -approx))[:rerank]
+            ids = np.sort(ids[sel])
+        fids, vecs = self._fetch_vectors(ids)
+        return self._rerank(fids, vecs, qvec, k)
 
     def search_ivf(self, qvec, k: int = 10, nprobe: int = 2, where=None):
         """IVF probe → [(rank, vec_id, cosine)] — reads nprobe cell dirs.
@@ -660,6 +822,7 @@ def rh_topk_stored(
     q_id_col: str = "query_id",
     q_vec_col: str = "qvec",
     where=None,
+    rerank: int | None = None,
 ) -> DataFrame:
     """approximate top-k via the PERSISTED RH tables: query buckets are
     computed on the (small) query set, collected driver-side, and pushed
@@ -732,6 +895,10 @@ def rh_topk_stored(
         data = data.where(where)
     joined = data.join(F.broadcast(q_local), ["tbl", "bucket"])
     cand = joined.dropDuplicates([q_id_col, "vec_id"])
+    if meta.get("pq"):
+        return _pq_probe_topk(
+            spark, store, meta, cand, q_local, k, rerank, q_id_col, q_vec_col
+        )
     if not meta.get("rh_store_vectors", True):
         # id-only index: fetch candidate vectors from ivf_cells (the ONE
         # stored copy). Distinct ids first so the corpus-side scan joins a
@@ -749,6 +916,67 @@ def rh_topk_stored(
         F.col(q_id_col).alias("query_id"),
         "vec_id",
         sim.cosine_col(F.col("embedding"), F.col(q_vec_col)).alias("cosine"),
+    )
+    return _topk(scored, k)
+
+
+def _pq_probe_topk(
+    spark: SparkSession,
+    store: IndexStorage,
+    meta: dict,
+    cand: DataFrame,
+    q_local: DataFrame,
+    k: int,
+    rerank: int | None,
+    q_id_col: str,
+    q_vec_col: str,
+) -> DataFrame:
+    """PQ-payload probe tail: ADC-score the bucket candidates from their
+    stored codes (m lookup adds each — no vector fetch), keep the
+    per-query top-``rerank`` by approximate cosine (None = keep all —
+    then the result is bit-identical to a full-payload probe, since the
+    final scoring below is exact over the same candidate set), and fetch
+    ONLY the survivors' true vectors from ivf_cells for the exact re-rank.
+    Fetch volume per query drops from |candidates| to rerank."""
+    from . import pq as _pq
+
+    cb = store.read(spark, "pq_codebooks")
+    q_only = q_local.dropDuplicates([q_id_col]).select(q_id_col, q_vec_col)
+    lut = _pq.pq_lut(
+        q_only, cb, meta["dim"], meta["pq_m"], q_id_col, q_vec_col
+    )
+    q_norms = q_only.select(
+        q_id_col,
+        F.sqrt(_pq._dot(F.col(q_vec_col), F.col(q_vec_col))).alias("_qnorm"),
+    )
+    approx = _pq.pq_score(
+        cand.select(q_id_col, "vec_id", "pq_code"), lut, q_norms, q_id_col
+    )
+    if rerank is not None:
+        w = Window.partitionBy(q_id_col).orderBy(
+            F.desc("approx_cos"), F.asc("vec_id")
+        )
+        approx = (
+            approx.withColumn("_pr", F.row_number().over(w))
+            .filter(F.col("_pr") <= rerank)
+        )
+    surv = approx.select(q_id_col, "vec_id")
+    ids = surv.select("vec_id").distinct()
+    vecs = (
+        store.read(spark, "ivf_cells")
+        .join(F.broadcast(ids), "vec_id")
+        .select("vec_id", "embedding")
+    )
+    scored = (
+        surv.join(F.broadcast(q_only), q_id_col)
+        .join(vecs, "vec_id")
+        .select(
+            F.col(q_id_col).alias("query_id"),
+            "vec_id",
+            sim.cosine_col(F.col("embedding"), F.col(q_vec_col)).alias(
+                "cosine"
+            ),
+        )
     )
     return _topk(scored, k)
 

@@ -500,3 +500,134 @@ def test_ann_compact_bounds_files_and_preserves_results(
     assert _rows(ann_index.rh_topk_stored(spark, out, queries, k=K)) == _rows(
         ann_index.rh_topk_stored(spark, fresh, queries, k=K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantized payload (operators/pq)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8
+PQ_CODES = 64
+
+
+def _build_pq(spark, emb, out, **kw):
+    ann_index.build_ann_index(
+        spark, emb, out, dim=DIM,
+        rh_n_bits=N_BITS, rh_n_tables=N_TABLES,
+        ivf_k=IVF_K, ivf_n_iter=3,
+        store_vectors=False, pq=True, pq_m=PQ_M, pq_codes=PQ_CODES,
+        pq_n_iter=3, **kw,
+    )
+
+
+def test_pq_rerank_all_equals_full_payload(spark, emb, queries, ann_dir, tmp_path):
+    """rerank=None fetches every bucket candidate for the exact re-rank —
+    the PQ index must then return BIT-IDENTICAL results to the
+    full-payload index (same candidates, same exact scoring), while its
+    rh_buckets is a fraction of the size."""
+    import os
+
+    out = str(tmp_path / "ann_pq")
+    _build_pq(spark, emb, out)
+    got = ann_index.rh_topk_stored(spark, out, queries, k=K, rerank=None)
+    want = ann_index.rh_topk_stored(spark, ann_dir, queries, k=K)
+    assert _rows(got) == _rows(want)
+    assert _rows(got)
+
+    def _bytes(root, table):
+        total = 0
+        for dp, _, fns in os.walk(os.path.join(root, table)):
+            total += sum(
+                os.path.getsize(os.path.join(dp, f))
+                for f in fns if f.endswith(".parquet")
+            )
+        return total
+
+    assert _bytes(out, "rh_buckets") < 0.5 * _bytes(ann_dir, "rh_buckets")
+
+
+def test_pq_bounded_rerank_recall(spark, emb, queries, ann_dir, tmp_path):
+    """A bounded rerank pool (ADC picks the fetch set) must keep high
+    recall vs the exact full-payload top-k on this fixture — the
+    codebooks are trained on the corpus itself, so reconstruction is
+    accurate. Deterministic: fixed data, fixed training."""
+    out = str(tmp_path / "ann_pq_r")
+    _build_pq(spark, emb, out)
+    got = ann_index.rh_topk_stored(spark, out, queries, k=K, rerank=3 * K)
+    want = ann_index.rh_topk_stored(spark, ann_dir, queries, k=K)
+    got_sets = {}
+    for r in got.collect():
+        got_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = total = 0
+    for r in want.collect():
+        total += 1
+        if r["vec_id"] in got_sets.get(r["query_id"], set()):
+            hits += 1
+    assert total > 0
+    assert hits / total >= 0.8, f"recall {hits}/{total}"
+
+
+def test_pq_reader_parity_and_append(spark, emb, queries, tmp_path):
+    """AnnReader over a PQ index (rerank=None) must equal the Spark stored
+    path; appends encode under the STORED codebooks (never retrained) and
+    the union still matches the full-payload result exactly."""
+    out = str(tmp_path / "ann_pq_rdr")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    _build_pq(spark, half, out, sign_round_dp=9)
+    ann_index.append_ann_vectors(spark, out, rest)
+
+    full = str(tmp_path / "ann_full_ref")
+    ann_index.build_ann_index(
+        spark, emb, full, dim=DIM,
+        rh_n_bits=N_BITS, rh_n_tables=N_TABLES,
+        ivf_k=IVF_K, ivf_n_iter=3, sign_round_dp=9,
+    )
+    got = ann_index.rh_topk_stored(spark, out, queries, k=K, rerank=None)
+    want = ann_index.rh_topk_stored(spark, full, queries, k=K)
+    assert _rows(got) == _rows(want)
+    assert _rows(got)
+
+    reader = ann_index.AnnReader(out)
+    spark_rows = {}
+    for r in got.collect():
+        spark_rows.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], round(r["cosine"], 9))
+        )
+    for qr in queries.collect():
+        rdr = [
+            (rk, vid, round(c, 9))
+            for rk, vid, c in reader.search(qr["qvec"], k=K)
+        ]
+        assert rdr == sorted(spark_rows.get(qr["query_id"], [])), qr["query_id"]
+
+
+def test_pq_compact_retrain_rebuilds_codes(spark, emb, queries, tmp_path):
+    """ann-compact --retrain on a PQ index retrains codebooks and
+    re-encodes every vector from ivf_cells — results (exact, rerank=None)
+    are preserved and the codebook/code artifacts equal a fresh build over
+    the same corpus (deterministic training)."""
+    out = str(tmp_path / "ann_pq_cpt")
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    _build_pq(spark, half, out)
+    ann_index.append_ann_vectors(spark, out, rest)
+    ann_index.compact_ann_index(spark, out, retrain=True)
+
+    fresh = str(tmp_path / "ann_pq_fresh")
+    _build_pq(spark, emb, fresh)
+    from clip_as_service_spark.sources.tables import IndexStorage
+
+    cb_a = sorted(
+        (r["subspace"], r["code"], tuple(r["centroid"]))
+        for r in IndexStorage(out).read(spark, "pq_codebooks").collect()
+    )
+    cb_b = sorted(
+        (r["subspace"], r["code"], tuple(r["centroid"]))
+        for r in IndexStorage(fresh).read(spark, "pq_codebooks").collect()
+    )
+    assert cb_a == cb_b
+    got = ann_index.rh_topk_stored(spark, out, queries, k=K, rerank=None)
+    want = ann_index.rh_topk_stored(spark, fresh, queries, k=K, rerank=None)
+    assert _rows(got) == _rows(want)
+    assert _rows(got)
