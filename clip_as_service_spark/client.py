@@ -87,11 +87,14 @@ class CasSparkClient:
 
     # -- search -------------------------------------------------------------
     def search(
-        self, texts, k: int = 10, method: str = "rh", where=None
+        self, texts, k: int = 10, method: str = "rh", where=None,
+        rerank: int | None = None,
     ) -> DataFrame:
         """texts → (query_id, rank, vec_id, cosine) over the workspace
         index. method: 'rh' (LSH multi-probe) or 'ivf' (cell probe);
-        `where` filters on stored meta_cols (AnnLite filter columns)."""
+        `where` filters on stored meta_cols (AnnLite filter columns);
+        `rerank` bounds the exact-re-rank pool on a PQ-payload index
+        (None = fetch every candidate)."""
         from .operators import ann_index
 
         q = self.encode(texts).select(
@@ -99,11 +102,13 @@ class CasSparkClient:
         )
         if method == "rh":
             return ann_index.rh_topk_stored(
-                self.spark, f"{self.workspace}/ann", q, k=k, where=where
+                self.spark, f"{self.workspace}/ann", q, k=k, where=where,
+                rerank=rerank,
             )
         if method == "ivf":
             return ann_index.ivf_topk_stored(
-                self.spark, f"{self.workspace}/ann", q, k=k, where=where
+                self.spark, f"{self.workspace}/ann", q, k=k, where=where,
+                rerank=rerank,
             )
         raise ValueError(f"unknown search method {method!r}")
 

@@ -245,7 +245,10 @@ def build_ann_index(
         )
     if not store.exists("ivf_cells"):
         cents = store.read(spark, "ivf_centroids")
-        cells = _ivf_rows(embeddings, cents, meta, id_col, vec_col)
+        cb = store.read(spark, "pq_codebooks") if meta.get("pq") else None
+        cells = _ivf_rows(
+            embeddings, cents, meta, id_col, vec_col, codebooks=cb
+        )
         # cell count is quantizer-bounded (≤ ~10^5 by definition of a
         # coarse quantizer) so cell_id is safe as a partition dir; sub-split
         # for write parallelism like the block build
@@ -355,17 +358,34 @@ def _ivf_rows(
     meta: dict,
     id_col: str,
     vec_col: str,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
-    """(vec_id, embedding, *meta_cols, cell_id) rows assigned under the
-    GIVEN (stored) quantizer — shared by build and append."""
+    """(vec_id, embedding[, pq_code], *meta_cols, cell_id) rows assigned
+    under the GIVEN (stored) quantizer — shared by build and append. A PQ
+    index stores the codes HERE too (+~2% bytes): an IVF probe can then
+    scan only the narrow (vec_id, pq_code) columns for ADC scoring and
+    read the wide embedding column for just the re-rank survivors —
+    dim·8/m× less scan IO per probe (ivf_topk_stored(rerank=…))."""
     mcols = tuple(meta.get("meta_cols", ()))
+    code_cols = []
+    if meta.get("pq"):
+        if codebooks is None:
+            raise ValueError("_ivf_rows: pq index needs the stored codebooks")
+        from . import pq as _pq
+
+        codes = _pq.pq_encode(
+            embeddings, codebooks, meta["dim"], meta["pq_m"], id_col, vec_col
+        )
+        embeddings = embeddings.join(codes, id_col)
+        code_cols = ["pq_code"]
     assign = sim._nearest_cells(
-        embeddings.select(id_col, vec_col, *mcols), centroids, 1,
+        embeddings.select(id_col, vec_col, *code_cols, *mcols), centroids, 1,
         id_col, vec_col, "cell_id", "centroid", "_r",
     )
     return assign.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
+        *code_cols,
         *mcols,
         "cell_id",
     )
@@ -442,7 +462,7 @@ def append_ann_vectors(
 
     cents = store.read(spark, "ivf_centroids")
     cells = _ivf_rows(
-        new_embeddings, cents, meta, id_col, vec_col
+        new_embeddings, cents, meta, id_col, vec_col, codebooks=codebooks
     ).sortWithinPartitions("cell_id", "vec_id")
     store.append(cells, "ivf_cells", partition_by=["cell_id"])
 
@@ -488,7 +508,7 @@ def compact_ann_index(
             ),
             "ivf_centroids",
         )
-        cells = _ivf_rows(vecs, cents, meta, "vec_id", "embedding")
+        cb = None
         if meta.get("pq"):
             from . import pq as _pq
 
@@ -500,6 +520,9 @@ def compact_ann_index(
             )
             cb_tmp = store.write_tmp(cb, "pq_codebooks")
             rh_rows = _rh_rows(vecs, meta, "vec_id", "embedding", codebooks=cb)
+        cells = _ivf_rows(
+            vecs, cents, meta, "vec_id", "embedding", codebooks=cb
+        )
 
     splits = max(1, -(-target // max(meta["rh_n_tables"], 1)))
     rh_rows = rh_rows.repartition(
@@ -735,11 +758,20 @@ class AnnReader:
         fids, vecs = self._fetch_vectors(ids)
         return self._rerank(fids, vecs, qvec, k)
 
-    def search_ivf(self, qvec, k: int = 10, nprobe: int = 2, where=None):
+    def search_ivf(
+        self,
+        qvec,
+        k: int = 10,
+        nprobe: int = 2,
+        where=None,
+        rerank: int | None = None,
+    ):
         """IVF probe → [(rank, vec_id, cosine)] — reads nprobe cell dirs.
 
         ``where``: optional pyarrow Expression over stored meta_cols,
-        AND-composed with the cell filter (see search)."""
+        AND-composed with the cell filter (see search). ``rerank`` (PQ
+        indexes): read only (vec_id, pq_code) from the probed cells,
+        ADC-score, fetch true vectors for the top-rerank only."""
         import numpy as np
         import pyarrow.compute as pc
 
@@ -759,12 +791,42 @@ class AnnReader:
         flt = pc.field("cell_id").isin(cells)
         if where is not None:
             flt = flt & where
+        if rerank is not None and self.meta.get("pq"):
+            return self._search_pq_cells(qvec, k, flt, rerank)
         tbl = self._ivf_ds.to_table(
             filter=flt, columns=["vec_id", "embedding"]
         )
         ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
         vecs = _list_col_to_2d(tbl.column("embedding"), self.meta["dim"])
         return self._rerank(ids, vecs, qvec, k)
+
+    def _search_pq_cells(self, qvec, k: int, flt, rerank: int):
+        """ADC over the probed cells' stored codes (narrow-column read),
+        exact re-rank of the survivors — the cells twin of _search_pq."""
+        import numpy as np
+
+        m = self.meta["pq_m"]
+        tbl = self._ivf_ds.to_table(filter=flt, columns=["vec_id", "pq_code"])
+        ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
+        if len(ids) == 0:
+            return []
+        codes = _list_col_to_2d(tbl.column("pq_code"), m).astype(np.int64)
+        q = np.asarray(qvec, dtype=np.float64)
+        qsub = q.reshape(m, self.meta["dim"] // m)
+        lut = np.einsum("sd,skd->sk", qsub, self._pq_cb)
+        srange = np.arange(m)
+        dots = lut[srange, codes].sum(axis=1)
+        n2 = self._pq_n2[srange, codes].sum(axis=1)
+        qn = np.linalg.norm(q)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            approx = np.where(
+                (n2 > 0) & (qn > 0), dots / (qn * np.sqrt(n2)), -np.inf
+            )
+        if rerank < len(ids):
+            sel = np.lexsort((ids, -approx))[:rerank]
+            ids = np.sort(ids[sel])
+        fids, vecs = self._fetch_vectors(ids)
+        return self._rerank(fids, vecs, qvec, k)
 
 
 def _round_half_up(arr, dp: int):
@@ -990,6 +1052,7 @@ def ivf_topk_stored(
     q_id_col: str = "query_id",
     q_vec_col: str = "qvec",
     where=None,
+    rerank: int | None = None,
 ) -> DataFrame:
     """IVF top-k via the PERSISTED cell assignment: queries probe their
     nprobe nearest cells of the STORED quantizer; the ivf_cells scan prunes
@@ -1000,8 +1063,14 @@ def ivf_topk_stored(
 
     ``where``: optional predicate over stored meta_cols (AnnLite-style
     filtered search) — evaluated inside the cell-pruned scan; equivalent to
-    pre-filtering the corpus (assignment is per-vector), pinned by test."""
+    pre-filtering the corpus (assignment is per-vector), pinned by test.
+
+    ``rerank`` (PQ indexes only): scan just the NARROW (vec_id, pq_code)
+    columns of the probed cells for ADC scoring — dim·8/m× less scan IO —
+    and read the wide embedding column for only the per-query top-rerank
+    survivors (exact re-rank). None keeps the exact full-column scan."""
     store = IndexStorage(index_dir)
+    meta = store.read_meta()
     cents = store.read(spark, "ivf_centroids")
     q_assign = sim._nearest_cells(
         queries, cents, nprobe, q_id_col, q_vec_col, "cell_id", "centroid",
@@ -1018,6 +1087,15 @@ def ivf_topk_stored(
     cells = store.read(spark, "ivf_cells").where(F.col("cell_id").isin(probed))
     if where is not None:
         cells = cells.where(where)
+    if rerank is not None and meta.get("pq"):
+        cand = (
+            cells.select("cell_id", "vec_id", "pq_code")
+            .join(F.broadcast(q_local), "cell_id")
+            .dropDuplicates([q_id_col, "vec_id"])
+        )
+        return _pq_probe_topk(
+            spark, store, meta, cand, q_local, k, rerank, q_id_col, q_vec_col
+        )
     joined = cells.join(F.broadcast(q_local), "cell_id")
     scored = joined.select(
         F.col(q_id_col).alias("query_id"),

@@ -631,3 +631,49 @@ def test_pq_compact_retrain_rebuilds_codes(spark, emb, queries, tmp_path):
     want = ann_index.rh_topk_stored(spark, fresh, queries, k=K, rerank=None)
     assert _rows(got) == _rows(want)
     assert _rows(got)
+
+
+def test_pq_ivf_rerank_paths(spark, emb, queries, ann_dir, tmp_path):
+    """IVF probes over a PQ index: rerank=None is the exact full-column
+    scan (≡ plain index); rerank=all-candidates ADC path returns the same
+    exact result (final scoring is exact); a bounded rerank keeps ≥0.8
+    recall; AnnReader's cells-ADC twin matches the Spark path."""
+    out = str(tmp_path / "ann_pq_ivf")
+    _build_pq(spark, out=out, emb=emb, sign_round_dp=9)
+    want = ann_index.ivf_topk_stored(spark, ann_dir, queries, k=K, nprobe=2)
+    # exact path (no rerank): identical to the plain index
+    got_exact = ann_index.ivf_topk_stored(spark, out, queries, k=K, nprobe=2)
+    assert _rows(got_exact) == _rows(want)
+    # ADC path with an effectively-unbounded pool: same exact result
+    got_all = ann_index.ivf_topk_stored(
+        spark, out, queries, k=K, nprobe=2, rerank=10_000
+    )
+    assert _rows(got_all) == _rows(want)
+    # bounded pool: recall vs exact
+    got_b = ann_index.ivf_topk_stored(
+        spark, out, queries, k=K, nprobe=2, rerank=3 * K
+    )
+    got_sets = {}
+    for r in got_b.collect():
+        got_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = total = 0
+    for r in want.collect():
+        total += 1
+        if r["vec_id"] in got_sets.get(r["query_id"], set()):
+            hits += 1
+    assert total and hits / total >= 0.8, f"recall {hits}/{total}"
+    # reader cells-ADC twin ≡ Spark ADC path (same rerank pool)
+    reader = ann_index.AnnReader(out)
+    spark_rows = {}
+    for r in got_all.collect():
+        spark_rows.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], round(r["cosine"], 9))
+        )
+    for qr in queries.collect():
+        rdr = [
+            (rk, vid, round(c, 9))
+            for rk, vid, c in reader.search_ivf(
+                qr["qvec"], k=K, nprobe=2, rerank=10_000
+            )
+        ]
+        assert rdr == sorted(spark_rows.get(qr["query_id"], [])), qr["query_id"]
