@@ -210,6 +210,16 @@ def cmd_hybrid_search(args) -> int:
     return 0
 
 
+def cmd_ann_ingest(args) -> int:
+    spark = _spark(args)
+    spark.sparkContext.setLogLevel("WARN")
+    from .streaming.incremental import ingest_staged_vectors
+
+    n = ingest_staged_vectors(spark, args.staging, args.index)
+    print(json.dumps({"ingested": n}))
+    return 0
+
+
 def cmd_ann_compact(args) -> int:
     spark = _spark(args)
     spark.sparkContext.setLogLevel("WARN")
@@ -326,6 +336,15 @@ def main(argv: list[str] | None = None) -> int:
     ac.add_argument("--index", required=True)
     ac.add_argument("--retrain", action="store_true")
     ac.set_defaults(fn=cmd_ann_compact)
+
+    ai = sub.add_parser(
+        "ann-ingest",
+        help="fold streamed/staged embeddings into the ANN index "
+        "(idempotent, crash-convergent insert-only fold)",
+    )
+    ai.add_argument("--staging", required=True)
+    ai.add_argument("--index", required=True)
+    ai.set_defaults(fn=cmd_ann_ingest)
 
     hy = sub.add_parser(
         "hybrid-search",

@@ -20,7 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    DoubleType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -209,6 +212,85 @@ def compact_streamed_index(
     if not store.exists("postings"):
         store.write(posts, "postings")
     return _resume_from_postings(spark, store)
+
+
+EMBEDDINGS_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), False),
+        StructField("embedding", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+def start_embeddings_stream(
+    spark: SparkSession,
+    input_dir: str,
+    staging_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Incremental EMBEDDING ingest, stage 1 of 2: file-stream new
+    (vec_id, embedding) rows into a staging parquet sink — the embedding
+    twin of start_postings_stream (reference analog: repeated `/index`
+    calls adding vectors to the resident AnnLite index,
+    retriever.md:54-62). The parquet streaming sink's manifest log gives
+    exactly-once staging across restarts; folding staged rows into the
+    ANN index is stage 2 (ingest_staged_vectors), kept OUT of the stream
+    so a crashed fold can always be re-run to convergence."""
+    reader = spark.readStream.schema(EMBEDDINGS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    writer = (
+        reader.parquet(input_dir)
+        .writeStream.format("parquet")
+        .option("path", staging_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def ingest_staged_vectors(
+    spark: SparkSession,
+    staging_dir: str,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Stage 2: fold staged embeddings into the persisted ANN index —
+    IDEMPOTENT and crash-convergent. ids already in the index are
+    anti-joined away, so a re-run after ANY partial failure (including a
+    crash mid-append that landed some of the batch) ingests exactly the
+    remainder; a completed ingest re-run ingests nothing. Contract is
+    insert-only, same as append_ann_vectors: a re-encoded id is SKIPPED
+    (the stored vector wins) — re-encoded corpora need a rebuild, exactly
+    like re-crawled urls need compaction on the postings side. Streams
+    never (re)train the quantizer/codebooks; periodic `ann-compact
+    --retrain` heals drift. Returns the number of vectors ingested."""
+    from ..operators.ann_index import append_ann_vectors
+    from ..sources.tables import IndexStorage
+
+    staged = (
+        spark.read.parquet(staging_dir)
+        .select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+        .dropDuplicates()  # exact re-deliveries collapse
+    )
+    existing = IndexStorage(index_dir).read(spark, "ivf_cells").select("vec_id")
+    new = staged.join(existing, "vec_id", "left_anti")
+    # one materialization: the count both short-circuits the empty case
+    # and is the return contract. validate_ids still runs the batch-dup
+    # check (two staged rows sharing an id with DIFFERENT vectors raise).
+    n_new = new.count()
+    if n_new == 0:
+        return 0
+    append_ann_vectors(
+        spark, index_dir, new, id_col="vec_id", vec_col=vec_col,
+        validate_ids=True,
+    )
+    return n_new
 
 
 SESSION_OUT_SCHEMA = (

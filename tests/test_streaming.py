@@ -442,3 +442,62 @@ def test_stream_compaction_disjoint_equal_dl_rewrite_raises(spark, tmp_path):
             spark, out_dir, str(tmp_path / "bad_idx"),
             n_shards=4, salt_cutoff=30, target_sublist=20,
         )
+
+
+def test_embeddings_stream_ingest_converges(spark, tmp_path):
+    """Embedding-side incremental ingest (§2.9 symmetry with the postings
+    stream): chunks staged through the exactly-once parquet sink, folded
+    with ingest_staged_vectors — results must equal a full-payload build
+    over the union, the fold must be idempotent (re-run ingests 0), and a
+    simulated crash-mid-append (half the new ids already landed) must
+    CONVERGE on re-run instead of raising."""
+    from clip_as_service_spark.operators import ann_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = emb.select("vec_id", F.transform(
+        "embedding", lambda x: x.cast("double")).alias("embedding"))
+    first = emb.filter(F.col("vec_id") % 3 == 0)
+    later = emb.filter(F.col("vec_id") % 3 != 0)
+
+    idx = str(tmp_path / "ann_idx")
+    ann_index.build_ann_index(
+        spark, first, idx, dim=64, rh_n_bits=6, rh_n_tables=4,
+        ivf_k=8, ivf_n_iter=2,
+    )
+
+    in_dir, staging, cp = (str(tmp_path / d) for d in ("in", "staging", "cp"))
+    later.coalesce(1).write.mode("append").parquet(in_dir)
+    q = incremental.start_embeddings_stream(spark, in_dir, staging, cp)
+    q.awaitTermination(120)
+
+    n = incremental.ingest_staged_vectors(spark, staging, idx)
+    assert n == later.count()
+    # idempotent: nothing new on re-run
+    assert incremental.ingest_staged_vectors(spark, staging, idx) == 0
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = ann_index.rh_topk_stored(spark, idx, queries, k=10)
+    from clip_as_service_spark.operators import similarity as sim
+
+    want = sim.rh_bucketed_topk(emb, queries, k=10, n_bits=6, dim=64, n_tables=4)
+    rows = lambda df: sorted(
+        (r["query_id"], r["rank"], r["vec_id"], round(r["cosine"], 9))
+        for r in df.collect()
+    )
+    assert rows(got) == rows(want) and rows(got)
+
+    # crash-mid-append convergence: a second wave, half landed manually
+    # (simulating a crash after some appends), then the fold re-runs
+    idx2 = str(tmp_path / "ann_idx2")
+    ann_index.build_ann_index(
+        spark, first, idx2, dim=64, rh_n_bits=6, rh_n_tables=4,
+        ivf_k=8, ivf_n_iter=2,
+    )
+    half_new = later.filter(F.col("vec_id") % 2 == 0)
+    ann_index.append_ann_vectors(spark, idx2, half_new)
+    n2 = incremental.ingest_staged_vectors(spark, staging, idx2)
+    assert n2 == later.count() - half_new.count()
+    got2 = ann_index.rh_topk_stored(spark, idx2, queries, k=10)
+    assert rows(got2) == rows(want)
