@@ -851,8 +851,22 @@ def _list_col_to_2d(col, dim: int):
     return flat.reshape(-1, dim)
 
 
+# Above the In-filter threshold Spark pushes a [min,max] RANGE filter to
+# parquet instead of the In itself; below it, the In becomes a chain of
+# OR'd equality predicates whose recursive evaluation is STACK-DEPTH-BOUND
+# (measured on the default 1m thread stack: overflows from ~800 values,
+# flaky from ~600 — the id-only fetch's ~1.6k-candidate isin hit it).
+# session.get_spark raises -Xss to 16m (≈13k levels of headroom); this cap
+# keeps the monotonic threshold raise an order of magnitude below that
+# even on sessions built WITHOUT our -Xss (the driver's own harness).
+# Bigger sets fall back to the range filter + the InSet data filter —
+# still correct, still no corpus shuffle.
+MAX_IN_PUSHDOWN = 2048
+
+
 def _ensure_in_filter_threshold(spark: SparkSession, needed: int) -> None:
     key = "spark.sql.parquet.pushdown.inFilterThreshold"
+    needed = min(needed, MAX_IN_PUSHDOWN)
     try:
         cur = int(spark.conf.get(key))
     except Exception:
@@ -963,16 +977,11 @@ def rh_topk_stored(
         )
     if not meta.get("rh_store_vectors", True):
         # id-only index: fetch candidate vectors from ivf_cells (the ONE
-        # stored copy). Distinct ids first so the corpus-side scan joins a
-        # broadcast id set (no corpus shuffle, no duplicated qvec rows);
-        # the surviving vectors are candidate-sized, so AQE broadcasts the
-        # final attach join on observed size.
-        cand_ids = cand.select("vec_id").distinct()
-        vecs = (
-            store.read(spark, "ivf_cells")
-            .join(F.broadcast(cand_ids), "vec_id")
-            .select("vec_id", "embedding")
-        )
+        # stored copy) — pushed-down In filter on the vec_id sort when the
+        # candidate set is interactive-sized, broadcast-id join past the
+        # pushdown cutoff (_fetch_exact_vectors); the fetched vectors are
+        # candidate-sized, so AQE broadcasts the attach join.
+        vecs = _fetch_exact_vectors(spark, store, cand.select("vec_id"))
         cand = cand.join(vecs, "vec_id")
     scored = cand.select(
         F.col(q_id_col).alias("query_id"),
@@ -980,6 +989,40 @@ def rh_topk_stored(
         sim.cosine_col(F.col("embedding"), F.col(q_vec_col)).alias("cosine"),
     )
     return _topk(scored, k)
+
+
+def _fetch_exact_vectors(
+    spark: SparkSession,
+    store: IndexStorage,
+    ids_df: DataFrame,
+    max_pushdown: int = 20_000,
+) -> DataFrame:
+    """candidate ids → (vec_id, embedding) from ivf_cells (the one exact
+    copy). Small id sets (interactive batches — the common case) collect
+    and PUSH DOWN as an In filter: ivf_cells files are vec_id-sorted
+    within each cell partition, so parquet row-group min/max stats skip
+    most of the table instead of scanning it. Sets past ``max_pushdown``
+    (planning cost of a giant In literal) fall back to broadcasting the
+    id relation against the scan — still no corpus shuffle, but a full
+    column read; bulk pipelines at that size should prefer
+    rh_bucketed_topk-style joins anyway."""
+    ids = ids_df.select("vec_id").distinct()
+    head = ids.limit(max_pushdown + 1).collect()
+    if len(head) <= max_pushdown:
+        vals = sorted(int(r["vec_id"]) for r in head)
+        if not vals:
+            return spark.createDataFrame([], "vec_id long, embedding array<double>")
+        _ensure_in_filter_threshold(spark, len(vals) + 1)
+        return (
+            store.read(spark, "ivf_cells")
+            .where(F.col("vec_id").isin(vals))
+            .select("vec_id", "embedding")
+        )
+    return (
+        store.read(spark, "ivf_cells")
+        .join(F.broadcast(ids), "vec_id")
+        .select("vec_id", "embedding")
+    )
 
 
 def _pq_probe_topk(
@@ -1023,12 +1066,7 @@ def _pq_probe_topk(
             .filter(F.col("_pr") <= rerank)
         )
     surv = approx.select(q_id_col, "vec_id")
-    ids = surv.select("vec_id").distinct()
-    vecs = (
-        store.read(spark, "ivf_cells")
-        .join(F.broadcast(ids), "vec_id")
-        .select("vec_id", "embedding")
-    )
+    vecs = _fetch_exact_vectors(spark, store, surv)
     scored = (
         surv.join(F.broadcast(q_only), q_id_col)
         .join(vecs, "vec_id")

@@ -30,6 +30,20 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(2 * cores, 8)
 
+    # -Xss must reach the JVM LAUNCH (builder configs apply after the local
+    # JVM exists, so spark.driver.extraJavaOptions alone is too late):
+    # inject through PYSPARK_SUBMIT_ARGS while the gateway is still unborn.
+    # See the inFilterThreshold note below for why the depth matters.
+    from pyspark import SparkContext
+
+    if SparkContext._active_spark_context is None and "--driver-java-options" not in os.environ.get(
+        "PYSPARK_SUBMIT_ARGS", ""
+    ):
+        prev = os.environ.get("PYSPARK_SUBMIT_ARGS", "pyspark-shell")
+        os.environ["PYSPARK_SUBMIT_ARGS"] = (
+            '--driver-java-options "-Xss16m" ' + prev
+        )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -48,9 +62,15 @@ def get_spark(
         # ANN stored probes push (bucket IN <hundreds of values>) into the
         # parquet scan; the default threshold (10) silently drops such In
         # filters from row-group evaluation — measured 1.7× slower at 1M
-        # vectors. 4096 covers 2^12-bucket probe sets with negligible
-        # planning cost elsewhere.
+        # vectors. CAUTION: below the threshold parquet-mr evaluates the In
+        # as a RECURSIVE Or chain — on the default 1m thread stack, chains
+        # past ~800 values StackOverflow (measured; flaky from ~600). 4096
+        # covers 2^12-bucket probe sets; the -Xss below buys the depth.
         .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
+        # headroom for the Or-chain recursion above (≈1.2 KB/level measured
+        # → 16m ≈ 13k levels); local mode: one JVM, so driver options cover
+        # every task thread
+        .config("spark.driver.extraJavaOptions", "-Xss16m")
         # local mode: the driver JVM hosts ALL task slots — size the heap for
         # cores × (agg hash maps + shuffle buffers), not like a cluster driver
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))

@@ -273,24 +273,36 @@ def ingest_staged_vectors(
     from ..operators.ann_index import append_ann_vectors
     from ..sources.tables import IndexStorage
 
+    from pyspark import StorageLevel
+
     staged = (
         spark.read.parquet(staging_dir)
         .select(F.col(id_col).alias("vec_id"), F.col(vec_col))
         .dropDuplicates()  # exact re-deliveries collapse
     )
     existing = IndexStorage(index_dir).read(spark, "ivf_cells").select("vec_id")
-    new = staged.join(existing, "vec_id", "left_anti")
-    # one materialization: the count both short-circuits the empty case
-    # and is the return contract. validate_ids still runs the batch-dup
-    # check (two staged rows sharing an id with DIFFERENT vectors raise).
-    n_new = new.count()
-    if n_new == 0:
-        return 0
-    append_ann_vectors(
-        spark, index_dir, new, id_col="vec_id", vec_col=vec_col,
-        validate_ids=True,
+    # persist the fold set across the count + the two append jobs (rh +
+    # ivf): the staging dedup + anti-join would otherwise re-execute three
+    # times — and, worse, a non-deterministic re-execution between the rh
+    # and ivf appends could hand the two tables different row sets
+    new = staged.join(existing, "vec_id", "left_anti").persist(
+        StorageLevel.DISK_ONLY
     )
-    return n_new
+    try:
+        # one materialization: the count both short-circuits the empty
+        # case and is the return contract. validate_ids still runs the
+        # batch-dup check (two staged rows sharing an id with DIFFERENT
+        # vectors raise).
+        n_new = new.count()
+        if n_new == 0:
+            return 0
+        append_ann_vectors(
+            spark, index_dir, new, id_col="vec_id", vec_col=vec_col,
+            validate_ids=True,
+        )
+        return n_new
+    finally:
+        new.unpersist()
 
 
 SESSION_OUT_SCHEMA = (
