@@ -238,13 +238,7 @@ def main() -> None:
     # rh_buckets (vectors live once, in ivf_cells) — report bytes + the
     # fetch-join probe cost next to the full-payload numbers
     def _tbl_bytes(root: str, table: str) -> int:
-        total = 0
-        for dp, _, fns in os.walk(os.path.join(root, table)):
-            total += sum(
-                os.path.getsize(os.path.join(dp, f))
-                for f in fns if f.endswith(".parquet")
-            )
-        return total
+        return annx.IndexStorage(root).table_bytes(table)
 
     slim_dir = "/tmp/bench_ann_slim"
     _sh.rmtree(slim_dir, ignore_errors=True)

@@ -487,13 +487,28 @@ def compact_ann_index(
     rebuilt from ivf_cells — the exact copy). RH buckets themselves never
     drift (planes are seed-deterministic), so without retrain the RH side
     only needs the layout rewrite."""
+    import os as _os
+
     store = IndexStorage(index_dir)
+    if (
+        _os.path.exists(_os.path.join(store.root, _COMPACT_MARKER))
+        and not retrain
+    ):
+        raise ValueError(
+            "a compact-retrain swap is pending on this index — only "
+            "compact_ann_index(retrain=True) can heal it (a layout-only "
+            "compact would legitimize possibly-mismatched tables)."
+        )
     meta = store.read_meta()
     mcols = tuple(meta.get("meta_cols", ()))
     target = spark.sparkContext.defaultParallelism * 2
 
     cells = store.read(spark, "ivf_cells")
-    rh_rows = store.read(spark, "rh_buckets")
+    # full-row dedup: a crash between ingest_staged_vectors' rh append and
+    # its ivf append makes the re-run re-append the same rh rows (its
+    # idempotence anti-join checks ivf_cells, the authoritative table) —
+    # probes dedupe at query time; compaction is where the bytes heal
+    rh_rows = store.read(spark, "rh_buckets").dropDuplicates()
     cents_tmp = cb_tmp = None
     if retrain:
         vecs = cells.select("vec_id", "embedding", *mcols)
@@ -535,15 +550,59 @@ def compact_ann_index(
     ).sortWithinPartitions("cell_id", "vec_id")
     # run ALL rewrite jobs before swapping ANY table: quantizer + cell
     # assignments (and PQ codebooks + codes) must change together — a probe
-    # against new centroids over old assignments returns wrong cells
+    # against new centroids over old assignments returns wrong cells. The
+    # swap sequence itself is milliseconds of renames but NOT atomic: a
+    # retrain interrupted mid-sequence would leave a retrained quantizer
+    # over old assignments with every _SUCCESS intact — so retrain fences
+    # the sequence with a marker file that query paths REFUSE to serve
+    # through. Healing is re-running this compact: everything above is
+    # re-derived from the cells' (vec_id, embedding) rows, which no swap
+    # order can lose, so the rerun converges whatever was swapped.
     rh_tmp = store.write_tmp(rh_rows, "rh_buckets", partition_by=["tbl"])
     cells_tmp = store.write_tmp(cells, "ivf_cells", partition_by=["cell_id"])
+    if retrain:
+        _write_compact_marker(store)
     if cents_tmp is not None:
         store.swap("ivf_centroids", cents_tmp)
     if cb_tmp is not None:
         store.swap("pq_codebooks", cb_tmp)
     store.swap("rh_buckets", rh_tmp)
     store.swap("ivf_cells", cells_tmp)
+    _clear_compact_marker(store)
+
+
+_COMPACT_MARKER = "_compact_pending"
+
+
+def _write_compact_marker(store: IndexStorage) -> None:
+    import os
+
+    with open(os.path.join(store.root, _COMPACT_MARKER), "w") as fh:
+        fh.write("retrain swap sequence in flight — rerun ann-compact "
+                 "--retrain to heal if this file outlives the process\n")
+
+
+def _clear_compact_marker(store: IndexStorage) -> None:
+    import contextlib
+    import os
+
+    with contextlib.suppress(FileNotFoundError):
+        os.remove(os.path.join(store.root, _COMPACT_MARKER))
+
+
+def _check_compact_marker(store: IndexStorage) -> None:
+    """Query-path fence: a present marker means a retrain swap is in
+    flight or died mid-sequence — the tables may pair a new quantizer with
+    old assignments (every _SUCCESS intact, so nothing else detects it)."""
+    import os
+
+    if os.path.exists(os.path.join(store.root, _COMPACT_MARKER)):
+        raise ValueError(
+            f"ANN index at {store.root} has a pending compact-retrain swap "
+            "(_compact_pending) — a compact is running, or one crashed "
+            "mid-swap. Re-run compact_ann_index(retrain=True) (CLI: "
+            "ann-compact --retrain) to converge, then query again."
+        )
 
 
 class AnnReader:
@@ -572,6 +631,7 @@ class AnnReader:
 
     def __init__(self, index_dir: str):
         self.store = IndexStorage(index_dir)
+        _check_compact_marker(self.store)
         self.meta = self.store.read_meta()
         nb, nt = self.meta["rh_n_bits"], self.meta["rh_n_tables"]
         self._planes = sim.rh_planes(
@@ -725,23 +785,22 @@ class AnnReader:
             fetched.column("embedding"), self.meta["dim"]
         )[order]
 
-    def _search_pq(self, qvec, k: int, flt, rerank: int | None):
-        """ADC over the stored codes, exact re-rank of the survivors —
-        the numpy twin of _pq_probe_topk."""
+    def _adc_select(self, ids, codes, qvec, rerank: int | None):
+        """ONE ADC implementation for both reader paths (RH buckets and
+        IVF cells): approximate cosines from the codes via the per-query
+        lookup table, then the per-query top-``rerank`` ids (sorted) —
+        ties broken exactly like the Spark path (approx desc, vec_id
+        asc). A divergence between two copies of this math would make the
+        RH and IVF readers silently disagree."""
         import numpy as np
 
+        if rerank is None or rerank >= len(ids):
+            # every candidate survives — skip the scoring entirely (the
+            # exact re-rank downstream ignores approx scores anyway)
+            return ids
         m = self.meta["pq_m"]
-        dsub = self.meta["dim"] // m
-        tbl = self._rh_ds.to_table(filter=flt, columns=["vec_id", "pq_code"])
-        ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
-        ids, first = np.unique(ids, return_index=True)
-        if len(ids) == 0:
-            return []
-        codes = _list_col_to_2d(tbl.column("pq_code"), m).astype(np.int64)[
-            first
-        ]
         q = np.asarray(qvec, dtype=np.float64)
-        qsub = q.reshape(m, dsub)
+        qsub = q.reshape(m, self.meta["dim"] // m)
         # (m, n_codes) partial dots: lut[s, c] = q_s · cb[s, c]
         lut = np.einsum("sd,skd->sk", qsub, self._pq_cb)
         srange = np.arange(m)
@@ -752,9 +811,24 @@ class AnnReader:
             approx = np.where(
                 (n2 > 0) & (qn > 0), dots / (qn * np.sqrt(n2)), -np.inf
             )
-        if rerank is not None and rerank < len(ids):
-            sel = np.lexsort((ids, -approx))[:rerank]
-            ids = np.sort(ids[sel])
+        sel = np.lexsort((ids, -approx))[:rerank]
+        return np.sort(ids[sel])
+
+    def _search_pq(self, qvec, k: int, flt, rerank: int | None):
+        """ADC over the stored codes, exact re-rank of the survivors —
+        the numpy twin of _pq_probe_topk."""
+        import numpy as np
+
+        m = self.meta["pq_m"]
+        tbl = self._rh_ds.to_table(filter=flt, columns=["vec_id", "pq_code"])
+        ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
+        ids, first = np.unique(ids, return_index=True)
+        if len(ids) == 0:
+            return []
+        codes = _list_col_to_2d(tbl.column("pq_code"), m).astype(np.int64)[
+            first
+        ]
+        ids = self._adc_select(ids, codes, qvec, rerank)
         fids, vecs = self._fetch_vectors(ids)
         return self._rerank(fids, vecs, qvec, k)
 
@@ -802,7 +876,9 @@ class AnnReader:
 
     def _search_pq_cells(self, qvec, k: int, flt, rerank: int):
         """ADC over the probed cells' stored codes (narrow-column read),
-        exact re-rank of the survivors — the cells twin of _search_pq."""
+        exact re-rank of the survivors — the cells twin of _search_pq
+        (same _adc_select math; cells rows are already id-unique, so no
+        cross-table dedupe)."""
         import numpy as np
 
         m = self.meta["pq_m"]
@@ -811,20 +887,7 @@ class AnnReader:
         if len(ids) == 0:
             return []
         codes = _list_col_to_2d(tbl.column("pq_code"), m).astype(np.int64)
-        q = np.asarray(qvec, dtype=np.float64)
-        qsub = q.reshape(m, self.meta["dim"] // m)
-        lut = np.einsum("sd,skd->sk", qsub, self._pq_cb)
-        srange = np.arange(m)
-        dots = lut[srange, codes].sum(axis=1)
-        n2 = self._pq_n2[srange, codes].sum(axis=1)
-        qn = np.linalg.norm(q)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            approx = np.where(
-                (n2 > 0) & (qn > 0), dots / (qn * np.sqrt(n2)), -np.inf
-            )
-        if rerank < len(ids):
-            sel = np.lexsort((ids, -approx))[:rerank]
-            ids = np.sort(ids[sel])
+        ids = self._adc_select(ids, codes, qvec, rerank)
         fids, vecs = self._fetch_vectors(ids)
         return self._rerank(fids, vecs, qvec, k)
 
@@ -856,12 +919,14 @@ def _list_col_to_2d(col, dim: int):
 # OR'd equality predicates whose recursive evaluation is STACK-DEPTH-BOUND
 # (measured on the default 1m thread stack: overflows from ~800 values,
 # flaky from ~600 — the id-only fetch's ~1.6k-candidate isin hit it).
-# session.get_spark raises -Xss to 16m (≈13k levels of headroom); this cap
-# keeps the monotonic threshold raise an order of magnitude below that
-# even on sessions built WITHOUT our -Xss (the driver's own harness).
-# Bigger sets fall back to the range filter + the InSet data filter —
-# still correct, still no corpus shuffle.
-MAX_IN_PUSHDOWN = 2048
+# session.get_spark raises -Xss to 16m (≈13k levels of headroom), but this
+# RAISE can run under sessions built elsewhere (the driver's own harness,
+# default 1m stacks) — so it must stay below the WORST-CASE measured
+# overflow, not our own session's ceiling: 512 (500-value chains measured
+# safe; failures start ~600-800). Bigger sets fall back to the range
+# filter + the InSet data filter — still correct, still no corpus
+# shuffle. Our own session's 4096 default relies on its own -Xss.
+MAX_IN_PUSHDOWN = 512
 
 
 def _ensure_in_filter_threshold(spark: SparkSession, needed: int) -> None:
@@ -917,6 +982,7 @@ def rh_topk_stored(
     rh_bucketed_topk over the same stored table (plain equi-join, no
     pushdown) instead."""
     store = IndexStorage(index_dir)
+    _check_compact_marker(store)
     meta = store.read_meta()
     n_bits, n_tables = meta["rh_n_bits"], meta["rh_n_tables"]
     planes_bits = n_bits * n_tables
@@ -1003,9 +1069,16 @@ def _fetch_exact_vectors(
     within each cell partition, so parquet row-group min/max stats skip
     most of the table instead of scanning it. Sets past ``max_pushdown``
     (planning cost of a giant In literal) fall back to broadcasting the
-    id relation against the scan — still no corpus shuffle, but a full
-    column read; bulk pipelines at that size should prefer
-    rh_bucketed_topk-style joins anyway."""
+    COLLECTED ids as a local relation against the scan — still no corpus
+    shuffle, but a full column read; bulk pipelines at that size should
+    prefer rh_bucketed_topk-style joins anyway.
+
+    Cost note: the id collect executes the candidate plan once, and the
+    caller's final action executes it again (the fetch joins back to it)
+    — 2× a PRUNED probe scan, accepted deliberately: persisting would
+    leak cache entries out of this serving-path function (the returned
+    DataFrame escapes), and the pushed id set is what turns the
+    corpus-side read from a full column scan into skipped row groups."""
     ids = ids_df.select("vec_id").distinct()
     head = ids.limit(max_pushdown + 1).collect()
     if len(head) <= max_pushdown:
@@ -1018,9 +1091,15 @@ def _fetch_exact_vectors(
             .where(F.col("vec_id").isin(vals))
             .select("vec_id", "embedding")
         )
+    # fallback: collect the BARE ids (longs — small even at 10^6
+    # candidates) into a local relation, so the scan-side probe does not
+    # re-execute the candidate plan a THIRD time inside the join
+    local_ids = spark.createDataFrame(
+        [(int(r["vec_id"]),) for r in ids.collect()], "vec_id long"
+    )
     return (
         store.read(spark, "ivf_cells")
-        .join(F.broadcast(ids), "vec_id")
+        .join(F.broadcast(local_ids), "vec_id")
         .select("vec_id", "embedding")
     )
 
@@ -1038,34 +1117,41 @@ def _pq_probe_topk(
 ) -> DataFrame:
     """PQ-payload probe tail: ADC-score the bucket candidates from their
     stored codes (m lookup adds each — no vector fetch), keep the
-    per-query top-``rerank`` by approximate cosine (None = keep all —
-    then the result is bit-identical to a full-payload probe, since the
-    final scoring below is exact over the same candidate set), and fetch
-    ONLY the survivors' true vectors from ivf_cells for the exact re-rank.
-    Fetch volume per query drops from |candidates| to rerank."""
+    per-query top-``rerank`` by approximate cosine, and fetch ONLY the
+    survivors' true vectors from ivf_cells for the exact re-rank. Fetch
+    volume per query drops from |candidates| to rerank.
+
+    rerank=None keeps EVERY candidate — bit-identical to a full-payload
+    probe (exact scoring over the same candidate set), so the ADC stage
+    is SKIPPED entirely: its scores would select nothing, and the final
+    scoring is exact regardless."""
     from . import pq as _pq
 
-    cb = store.read(spark, "pq_codebooks")
     q_only = q_local.dropDuplicates([q_id_col]).select(q_id_col, q_vec_col)
-    lut = _pq.pq_lut(
-        q_only, cb, meta["dim"], meta["pq_m"], q_id_col, q_vec_col
-    )
-    q_norms = q_only.select(
-        q_id_col,
-        F.sqrt(_pq._dot(F.col(q_vec_col), F.col(q_vec_col))).alias("_qnorm"),
-    )
-    approx = _pq.pq_score(
-        cand.select(q_id_col, "vec_id", "pq_code"), lut, q_norms, q_id_col
-    )
-    if rerank is not None:
+    if rerank is None:
+        surv = cand.select(q_id_col, "vec_id")
+    else:
+        cb = store.read(spark, "pq_codebooks")
+        lut = _pq.pq_lut(
+            q_only, cb, meta["dim"], meta["pq_m"], q_id_col, q_vec_col
+        )
+        q_norms = q_only.select(
+            q_id_col,
+            F.sqrt(_pq._dot(F.col(q_vec_col), F.col(q_vec_col))).alias(
+                "_qnorm"
+            ),
+        )
+        approx = _pq.pq_score(
+            cand.select(q_id_col, "vec_id", "pq_code"), lut, q_norms, q_id_col
+        )
         w = Window.partitionBy(q_id_col).orderBy(
             F.desc("approx_cos"), F.asc("vec_id")
         )
-        approx = (
+        surv = (
             approx.withColumn("_pr", F.row_number().over(w))
             .filter(F.col("_pr") <= rerank)
+            .select(q_id_col, "vec_id")
         )
-    surv = approx.select(q_id_col, "vec_id")
     vecs = _fetch_exact_vectors(spark, store, surv)
     scored = (
         surv.join(F.broadcast(q_only), q_id_col)
@@ -1108,6 +1194,7 @@ def ivf_topk_stored(
     and read the wide embedding column for only the per-query top-rerank
     survivors (exact re-rank). None keeps the exact full-column scan."""
     store = IndexStorage(index_dir)
+    _check_compact_marker(store)
     meta = store.read_meta()
     cents = store.read(spark, "ivf_centroids")
     q_assign = sim._nearest_cells(

@@ -97,14 +97,18 @@ def train_pq_codebooks(
     works, codes just don't reach n_codes), assignment ties break to the
     lowest code, empty codes keep their previous centroid. ``sample``
     trains on a seeded fraction — PQ needs ~1k training points per code,
-    not the corpus."""
+    not the corpus. Init is taken from the UNSAMPLED corpus: a sample that
+    happens to come back empty must not silently produce empty codebooks
+    (pq_encode's inner join would then drop every corpus row into an
+    empty-but-'successful' index); with init from the corpus head, an
+    empty sample degrades to init-only codebooks, never to data loss."""
     _validate(dim, m, n_codes)
     spark = embeddings.sparkSession
-    if sample is not None:
-        embeddings = embeddings.sample(False, sample, seed=11)
     init_rows = (
         embeddings.orderBy(id_col).select(vec_col).limit(n_codes).collect()
     )
+    if sample is not None:
+        embeddings = embeddings.sample(False, sample, seed=11)
     if not init_rows:
         return spark.createDataFrame([], CODEBOOK_SCHEMA)
     dsub = dim // m

@@ -84,6 +84,18 @@ class IndexStorage:
         write_tmp + swap in one step."""
         self.swap(table, self.write_tmp(df, table, partition_by))
 
+    def table_bytes(self, table: str) -> int:
+        """Parquet payload bytes under a table dir (bench/ops evidence —
+        one definition so layout changes can't desync the benches)."""
+        total = 0
+        for dp, _, fns in os.walk(self.path(table)):
+            total += sum(
+                os.path.getsize(os.path.join(dp, f))
+                for f in fns
+                if f.endswith(".parquet")
+            )
+        return total
+
     def write_meta(self, meta: dict):
         os.makedirs(self.root, exist_ok=True)
         with open(os.path.join(self.root, "_meta.json"), "w") as fh:

@@ -264,7 +264,15 @@ def ingest_staged_vectors(
     IDEMPOTENT and crash-convergent. ids already in the index are
     anti-joined away, so a re-run after ANY partial failure (including a
     crash mid-append that landed some of the batch) ingests exactly the
-    remainder; a completed ingest re-run ingests nothing. Contract is
+    remainder of IDS; a completed ingest re-run ingests nothing. One
+    asymmetry, stated: the fold appends rh_buckets before ivf_cells while
+    the anti-join checks ivf_cells (the authoritative copy) — a crash in
+    between makes the re-run re-append those rh rows, so rh_buckets can
+    carry full-row duplicates until the next ann-compact (which dedupes
+    them); probes are unaffected (they dedupe per query). The reverse
+    order would be worse: ids present in cells but missing from
+    rh_buckets would be SILENTLY unfindable by RH probes forever.
+    Contract is
     insert-only, same as append_ann_vectors: a re-encoded id is SKIPPED
     (the stored vector wins) — re-encoded corpora need a rebuild, exactly
     like re-crawled urls need compaction on the postings side. Streams

@@ -698,3 +698,33 @@ def test_id_only_fetch_pushes_vec_id_filter(spark, emb, queries, tmp_path):
     # contains "]"; assert on the pushed predicate text directly)
     assert "In(vec_id" in plan, plan[:3000]
     assert _rows(got)
+
+
+def test_compact_marker_fences_and_heals(spark, emb, queries, ann_dir, tmp_path):
+    """A retrain swap interrupted mid-sequence leaves every _SUCCESS
+    intact — only the _compact_pending marker records the hazard. Probes
+    and layout-only compaction must REFUSE to serve through it;
+    compact(retrain=True) heals (everything re-derives from the cells'
+    vectors) and clears it."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "ann_marker")
+    shutil.copytree(ann_dir, out)
+    marker = os.path.join(out, "_compact_pending")
+    open(marker, "w").write("simulated mid-swap crash\n")
+
+    with pytest.raises(ValueError, match="pending"):
+        ann_index.rh_topk_stored(spark, out, queries, k=K)
+    with pytest.raises(ValueError, match="pending"):
+        ann_index.ivf_topk_stored(spark, out, queries, k=K, nprobe=2)
+    with pytest.raises(ValueError, match="pending"):
+        ann_index.AnnReader(out)
+    with pytest.raises(ValueError, match="retrain"):
+        ann_index.compact_ann_index(spark, out, retrain=False)
+
+    ann_index.compact_ann_index(spark, out, retrain=True)
+    assert not os.path.exists(marker)
+    got = ann_index.rh_topk_stored(spark, out, queries, k=K)
+    want = ann_index.rh_topk_stored(spark, ann_dir, queries, k=K)
+    assert _rows(got) == _rows(want) and _rows(got)

@@ -23,6 +23,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 WORK = "/tmp/ann_scale_bench"
 
 
+def _complete(d: str) -> bool:
+    """Reuse a finished build (all stages checkpointed) — the builds are
+    resumable artifacts; re-timing them every run re-pays the most
+    expensive part of the tool for no new information. A reused build
+    reports build_sec = -1 (cached)."""
+    from clip_as_service_spark.sources.tables import IndexStorage
+
+    st = IndexStorage(d)
+    return st.has_meta() and all(
+        st.exists(t) for t in ("rh_buckets", "ivf_centroids", "ivf_cells")
+    )
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     dim = int(sys.argv[2]) if len(sys.argv) > 2 else 64
@@ -67,14 +80,17 @@ def main() -> None:
     emb = spark.read.parquet(emb_path)
 
     ann_dir = f"{WORK}/idx_n{n}_d{dim}"
-    shutil.rmtree(ann_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    ann_index.build_ann_index(
-        spark, emb, ann_dir, dim=dim,
-        rh_n_bits=12, rh_n_tables=4,  # 4096 buckets/table ≈ 244 rows each
-        ivf_k=64, ivf_n_iter=4, ivf_train_sample=0.02,
-    )
-    build_sec = round(time.perf_counter() - t0, 2)
+    if _complete(ann_dir):
+        build_sec = -1.0
+    else:
+        shutil.rmtree(ann_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        ann_index.build_ann_index(
+            spark, emb, ann_dir, dim=dim,
+            rh_n_bits=12, rh_n_tables=4,  # 4096 buckets/table ≈ 244 rows each
+            ivf_k=64, ivf_n_iter=4, ivf_train_sample=0.02,
+        )
+        build_sec = round(time.perf_counter() - t0, 2)
 
     queries = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
@@ -120,14 +136,17 @@ def main() -> None:
     # chosen geometry and the probe times through it, plus the id-only
     # payload bytes (store_vectors=False: vectors live once, in ivf_cells)
     auto_dir = f"{WORK}/idx_auto_n{n}_d{dim}"
-    shutil.rmtree(auto_dir, ignore_errors=True)
-    t0 = time.perf_counter()
-    ann_index.build_ann_index(
-        spark, emb, auto_dir, dim=dim, rh_n_tables=4,
-        ivf_n_iter=4, ivf_train_sample=min(1.0, 100_000 / n),
-        store_vectors=False,
-    )
-    out["auto_build_sec"] = round(time.perf_counter() - t0, 2)
+    if _complete(auto_dir):
+        out["auto_build_sec"] = -1.0
+    else:
+        shutil.rmtree(auto_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        ann_index.build_ann_index(
+            spark, emb, auto_dir, dim=dim, rh_n_tables=4,
+            ivf_n_iter=4, ivf_train_sample=min(1.0, 100_000 / n),
+            store_vectors=False,
+        )
+        out["auto_build_sec"] = round(time.perf_counter() - t0, 2)
     auto_meta = IndexStorage(auto_dir).read_meta()
     out["auto_rh_n_bits"] = auto_meta["rh_n_bits"]
     out["auto_ivf_k"] = auto_meta["ivf_k"]
@@ -141,17 +160,38 @@ def main() -> None:
     )
 
     def _tbl_bytes(root: str, table: str) -> int:
-        total = 0
-        for dp, _, fns in os.walk(os.path.join(root, table)):
-            total += sum(
-                os.path.getsize(os.path.join(dp, f))
-                for f in fns if f.endswith(".parquet")
-            )
-        return total
+        return IndexStorage(root).table_bytes(table)
 
     out["rh_buckets_bytes_full_4t"] = _tbl_bytes(ann_dir, "rh_buckets")
     out["rh_buckets_bytes_idonly_4t"] = _tbl_bytes(auto_dir, "rh_buckets")
     out["ivf_cells_bytes"] = _tbl_bytes(auto_dir, "ivf_cells")
+
+    # PQ payload at scale: ADC scoring + bounded exact re-rank — probe
+    # time and bytes beside the other layouts (same manual geometry as the
+    # first build so the probe cost is comparable)
+    pq_dir = f"{WORK}/idx_pq_n{n}_d{dim}"
+    if _complete(pq_dir):
+        out["pq_build_sec"] = -1.0
+    else:
+        shutil.rmtree(pq_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        ann_index.build_ann_index(
+            spark, emb, pq_dir, dim=dim,
+            rh_n_bits=12, rh_n_tables=4,
+            ivf_k=64, ivf_n_iter=4, ivf_train_sample=0.02,
+            store_vectors=False, pq=True, pq_m=8, pq_codes=256,
+            pq_n_iter=4, pq_train_sample=min(1.0, 200_000 / n),
+        )
+        out["pq_build_sec"] = round(time.perf_counter() - t0, 2)
+    out["pq_rh_stored_sec_rerank50"] = timed(
+        lambda: ann_index.rh_topk_stored(spark, pq_dir, queries, k=10, rerank=50)
+    )
+    out["pq_ivf_stored_sec_rerank50"] = timed(
+        lambda: ann_index.ivf_topk_stored(
+            spark, pq_dir, queries, k=10, nprobe=4, rerank=50
+        )
+    )
+    out["rh_buckets_bytes_pq_4t"] = _tbl_bytes(pq_dir, "rh_buckets")
     print(json.dumps(out))
     spark.stop()
 
