@@ -88,6 +88,7 @@ def hybrid_search_stored(
     rrf_k: int = 60,
     ann_method: str = "rh",
     nprobe: int = 2,
+    rerank: int | None = None,
 ) -> DataFrame:
     """Hybrid search THROUGH THE PERSISTED indexes — the serving-path twin
     of the oracle-checked brute-force `hybrid_topk` gate query.
@@ -116,10 +117,13 @@ def hybrid_search_stored(
         .select(F.col("id").alias("query_id"), F.col("embedding").alias("qvec"))
         .filter(F.exists("qvec", lambda x: x != 0))  # zero vec has no cosine
     )
+    # rerank (PQ indexes): bound the semantic arm's exact-fetch pool
     if ann_method == "ivf":
-        sem = ivf_topk_stored(spark, ann_index_dir, qe, k=pool, nprobe=nprobe)
+        sem = ivf_topk_stored(
+            spark, ann_index_dir, qe, k=pool, nprobe=nprobe, rerank=rerank
+        )
     else:
-        sem = rh_topk_stored(spark, ann_index_dir, qe, k=pool)
+        sem = rh_topk_stored(spark, ann_index_dir, qe, k=pool, rerank=rerank)
     sem = sem.select(
         "query_id", F.col("vec_id").cast("long").alias("doc_id"), "rank"
     )
