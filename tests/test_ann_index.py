@@ -728,3 +728,32 @@ def test_compact_marker_fences_and_heals(spark, emb, queries, ann_dir, tmp_path)
     got = ann_index.rh_topk_stored(spark, out, queries, k=K)
     want = ann_index.rh_topk_stored(spark, ann_dir, queries, k=K)
     assert _rows(got) == _rows(want) and _rows(got)
+
+
+def test_pq_empty_training_sample_never_empties_index(spark, emb, queries, tmp_path):
+    """A pq_train_sample so small the seeded sample comes back EMPTY must
+    degrade to init-only codebooks (taken from the unsampled corpus head),
+    never to an empty codebook table whose inner join silently drops every
+    corpus row into an empty-but-'successful' index."""
+    out = str(tmp_path / "ann_pq_tiny_sample")
+    ann_index.build_ann_index(
+        spark, emb, out, dim=DIM,
+        rh_n_bits=N_BITS, rh_n_tables=N_TABLES,
+        ivf_k=IVF_K, ivf_n_iter=2,
+        store_vectors=False, pq=True, pq_m=PQ_M, pq_codes=PQ_CODES,
+        pq_n_iter=2, pq_train_sample=1e-9,
+    )
+    from clip_as_service_spark.sources.tables import IndexStorage
+
+    store = IndexStorage(out)
+    assert store.read(spark, "pq_codebooks").count() > 0
+    n_corpus = emb.count()
+    # every corpus row made it into both tables
+    assert store.read(spark, "ivf_cells").count() == n_corpus
+    assert (
+        store.read(spark, "rh_buckets").select("vec_id").distinct().count()
+        == n_corpus
+    )
+    # and the exact path still answers
+    got = ann_index.rh_topk_stored(spark, out, queries, k=K, rerank=None)
+    assert _rows(got)
