@@ -203,7 +203,7 @@ def cmd_hybrid_search(args) -> int:
     out = hybrid_search_stored(
         spark, args.text_index, args.ann_index, qdf,
         k=args.k, pool=args.pool, ann_method=args.ann_method,
-        nprobe=args.nprobe,
+        nprobe=args.nprobe, rerank=args.rerank,
     )
     for r in out.orderBy("query_id", "rank").collect():
         print(json.dumps(r.asDict()))
@@ -358,7 +358,15 @@ def main(argv: list[str] | None = None) -> int:
     hy.add_argument("-k", type=int, default=10)
     hy.add_argument("--pool", type=int, default=20)
     hy.add_argument("--ann-method", default="rh", choices=["rh", "ivf"])
-    hy.add_argument("--nprobe", type=int, default=2)
+    hy.add_argument(
+        "--nprobe", type=int, default=2,
+        help="IVF cells probed per query (--ann-method ivf)",
+    )
+    hy.add_argument(
+        "--rerank", type=int, default=None,
+        help="PQ indexes: ADC-select this many candidates per query for "
+        "the exact re-rank (default: fetch every candidate's exact vector)",
+    )
     hy.set_defaults(fn=cmd_hybrid_search)
 
     args = p.parse_args(argv)

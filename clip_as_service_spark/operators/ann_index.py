@@ -561,6 +561,19 @@ def compact_ann_index(
     rh_tmp = store.write_tmp(rh_rows, "rh_buckets", partition_by=["tbl"])
     cells_tmp = store.write_tmp(cells, "ivf_cells", partition_by=["cell_id"])
     if retrain:
+        # abort-before-swap fence: the rewritten cell table must carry
+        # EXACTLY the input rows — ivf_cells is the only exact vector copy
+        # of id-only/PQ indexes, and a retrain that lost rows (e.g. a
+        # degenerate quantizer assigning nothing) must never replace it.
+        # Both counts are cheap parquet-count scans; nothing has swapped yet.
+        n_in = store.read(spark, "ivf_cells").count()
+        n_out = spark.read.parquet(store.path(cells_tmp)).count()
+        if n_out != n_in:
+            raise RuntimeError(
+                f"compact_ann_index(retrain=True): reassignment produced "
+                f"{n_out} rows from {n_in} input rows — aborting before any "
+                "swap (the index on disk is untouched)."
+            )
         _write_compact_marker(store)
     if cents_tmp is not None:
         store.swap("ivf_centroids", cents_tmp)

@@ -432,8 +432,12 @@ def kmeans_centroids(
     per iteration for no recall benefit). Assignment at query/index time
     still covers every vector (ivf_topk)."""
     spark = embeddings.sparkSession
-    if sample is not None:
-        embeddings = embeddings.sample(False, sample, seed=7)
+    # dim + init come from the UNSAMPLED corpus (the mirror of the
+    # train_pq_codebooks fix): a seeded sample that happens to come back
+    # EMPTY must degrade to init-only centroids, never to an empty centroid
+    # table — compact_ann_index(retrain=True) would otherwise swap
+    # ivf_cells (the ONLY exact vector copy of id-only/PQ indexes) for an
+    # empty assignment: permanent index data loss.
     dim_row = embeddings.select(F.size(vec_col).alias("d")).first()
     if dim_row is None:
         return spark.createDataFrame([], "cell_id long, centroid array<double>")
@@ -443,6 +447,8 @@ def kmeans_centroids(
             embeddings.orderBy(id_col).select(vec_col).limit(k).collect()
         )
     ]
+    if sample is not None:
+        embeddings = embeddings.sample(False, sample, seed=7)
     cents = spark.createDataFrame(init, "cell_id long, centroid array<double>")
     for _ in range(n_iter):
         assign = _nearest_cells(

@@ -718,6 +718,12 @@ def q_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("demb"),
+    ).filter(
+        # zero-norm doc guard, matching the oracle's WHERE nd > 0: a zero
+        # embedding (the corpus model allows zero-token docs) gives 0/0 =
+        # NaN cosine, which F.desc orders FIRST — garbage at the pool head
+        # and a Spark/oracle parity break.
+        F.exists("demb", lambda x: x != 0)
     )
     cos = emb.crossJoin(F.broadcast(qe)).select(
         "query_id",

@@ -36,13 +36,23 @@ def get_spark(
     # See the inFilterThreshold note below for why the depth matters.
     from pyspark import SparkContext
 
-    if SparkContext._active_spark_context is None and "--driver-java-options" not in os.environ.get(
-        "PYSPARK_SUBMIT_ARGS", ""
-    ):
-        prev = os.environ.get("PYSPARK_SUBMIT_ARGS", "pyspark-shell")
+    submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    if SparkContext._active_spark_context is None and "--driver-java-options" not in submit_args:
         os.environ["PYSPARK_SUBMIT_ARGS"] = (
-            '--driver-java-options "-Xss16m" ' + prev
+            '--driver-java-options "-Xss16m" ' + (submit_args or "pyspark-shell")
         )
+        submit_args = os.environ["PYSPARK_SUBMIT_ARGS"]
+    # The 4096 In-filter threshold below is only safe WITH the 16m stack
+    # (below the threshold parquet-mr evaluates an In as a recursive Or
+    # chain — overflows from ~600-800 values on a default 1m stack). When
+    # the JVM is already up or the user supplied their own
+    # --driver-java-options without an -Xss, the injection didn't happen —
+    # fall back to the worst-case-safe cap (MAX_IN_PUSHDOWN) instead of
+    # promising a depth the stack can't hold.
+    from .operators.ann_index import MAX_IN_PUSHDOWN
+
+    deep_stack = "-Xss" in submit_args
+    in_filter_threshold = 4096 if deep_stack else MAX_IN_PUSHDOWN
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -65,8 +75,12 @@ def get_spark(
         # vectors. CAUTION: below the threshold parquet-mr evaluates the In
         # as a RECURSIVE Or chain — on the default 1m thread stack, chains
         # past ~800 values StackOverflow (measured; flaky from ~600). 4096
-        # covers 2^12-bucket probe sets; the -Xss below buys the depth.
-        .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
+        # covers 2^12-bucket probe sets IF the -Xss injection above
+        # happened; otherwise the worst-case-safe MAX_IN_PUSHDOWN cap.
+        .config(
+            "spark.sql.parquet.pushdown.inFilterThreshold",
+            str(in_filter_threshold),
+        )
         # headroom for the Or-chain recursion above (≈1.2 KB/level measured
         # → 16m ≈ 13k levels); local mode: one JVM, so driver options cover
         # every task thread

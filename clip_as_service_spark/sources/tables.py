@@ -29,10 +29,33 @@ class IndexStorage:
         self.root = root.rstrip("/")
 
     def path(self, table: str) -> str:
+        self._heal_swap(table)
         return f"{self.root}/{table}"
 
     def exists(self, table: str) -> bool:
         return os.path.exists(os.path.join(self.path(table), "_SUCCESS"))
+
+    def _heal_swap(self, table: str) -> None:
+        """Converge a swap() interrupted between its two renames. swap()
+        moves the live dir aside to <table>__old before renaming the tmp
+        into place; a crash in that gap leaves the final path ABSENT (reads
+        would raise) while both the old data (__old) and the new data
+        (__compact_tmp) survive. Recovery = ROLL BACK to __old: it is
+        always a complete, self-consistent table, whereas adopting the tmp
+        could pair one swapped table of a multi-table retrain with the old
+        version of another (the hazard the _compact_pending marker fences).
+        A leftover __old beside an intact final dir (crash after the second
+        rename, before cleanup) is simply deleted. Idempotent, called from
+        path() so every access route heals first."""
+        import shutil
+
+        final = f"{self.root}/{table}"
+        old = final + "__old"
+        if os.path.exists(old):
+            if os.path.exists(final):
+                shutil.rmtree(old, ignore_errors=True)
+            else:
+                os.rename(old, final)
 
     def write(self, df: DataFrame, table: str, partition_by: list[str] | None = None):
         w = df.write.mode("overwrite")
@@ -68,16 +91,25 @@ class IndexStorage:
         return tmp_table
 
     def swap(self, table: str, tmp_table: str):
-        """Move a write_tmp() result into place (rm old + rename — a
-        filesystem-level instant, vs the minutes of the write jobs). Not
-        atomic across the two calls, but a crash in the gap leaves no
-        `_SUCCESS` at the final path, so exists() correctly reports the
-        stage incomplete and a resume rebuilds it."""
+        """Move a write_tmp() result into place (two renames — a
+        filesystem-level instant, vs the minutes of the write jobs). The
+        live dir is renamed ASIDE to <table>__old first, not rmtree'd, so
+        no crash point loses data: a crash between the renames leaves the
+        final path absent but __old intact, and _heal_swap (run by every
+        path() call) rolls back to it; a crash after the second rename
+        just leaves an __old dir that _heal_swap deletes. The old data is
+        only destroyed at the very end, after the new table is fully in
+        place."""
         import shutil
 
         final = self.path(table)
-        shutil.rmtree(final, ignore_errors=True)
-        os.rename(self.path(tmp_table), final)
+        old = final + "__old"
+        shutil.rmtree(old, ignore_errors=True)
+        tmp = f"{self.root}/{tmp_table}"
+        if os.path.exists(final):
+            os.rename(final, old)
+        os.rename(tmp, final)
+        shutil.rmtree(old, ignore_errors=True)
 
     def replace(self, df: DataFrame, table: str, partition_by: list[str] | None = None):
         """Rewrite a table whose plan READS the same table (compaction):

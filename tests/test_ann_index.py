@@ -730,6 +730,36 @@ def test_compact_marker_fences_and_heals(spark, emb, queries, ann_dir, tmp_path)
     assert _rows(got) == _rows(want) and _rows(got)
 
 
+def test_ivf_empty_training_sample_never_empties_index(spark, emb, queries, tmp_path):
+    """The coarse-quantizer twin of the PQ fix below: an ivf_train_sample
+    so small the seeded draw comes back EMPTY must degrade to init-only
+    centroids (taken from the unsampled corpus head) — and, critically,
+    compact_ann_index(retrain=True) must NOT swap ivf_cells (the only
+    exact vector copy of an id-only index) for an empty assignment."""
+    from clip_as_service_spark.sources.tables import IndexStorage
+
+    out = str(tmp_path / "ann_ivf_tiny_sample")
+    ann_index.build_ann_index(
+        spark, emb, out, dim=DIM,
+        rh_n_bits=N_BITS, rh_n_tables=N_TABLES,
+        ivf_k=IVF_K, ivf_n_iter=2, ivf_train_sample=1e-9,
+        store_vectors=False,
+    )
+    store = IndexStorage(out)
+    n_corpus = emb.count()
+    assert store.read(spark, "ivf_centroids").count() > 0
+    assert store.read(spark, "ivf_cells").count() == n_corpus
+
+    # the r05 data-loss path: retrain re-samples (empty again) — the
+    # retrained quantizer must still assign every row, and the swap must
+    # leave the index whole
+    ann_index.compact_ann_index(spark, out, retrain=True)
+    assert store.read(spark, "ivf_centroids").count() > 0
+    assert store.read(spark, "ivf_cells").count() == n_corpus
+    got = ann_index.rh_topk_stored(spark, out, queries, k=K)
+    assert _rows(got)
+
+
 def test_pq_empty_training_sample_never_empties_index(spark, emb, queries, tmp_path):
     """A pq_train_sample so small the seeded sample comes back EMPTY must
     degrade to init-only codebooks (taken from the unsampled corpus head),
