@@ -17,12 +17,15 @@ Cosine under ADC, with v̂ the PQ reconstruction of v:
     ‖v̂‖²       = Σ_s  ‖cb[s, code_s]‖²             (lut column ``pn2``)
     approx_cos = dot / (‖q‖ · sqrt(‖v̂‖²))
 
-Scale shape: training is the IVF k-means pattern per subspace — the N×m×
-n_codes compare rows are generated map-side against a BROADCAST codebook
-and collapse to N×m assignment rows via a combinable min_by before any
-exchange (never shuffled at compare cardinality). Encoding is the same
-single pass. Codebooks are m·n_codes·(D/m) doubles — KBs; always broadcast,
-persisted beside the index. All expressions are JVM built-ins."""
+Scale shape: training runs the shared BLAS Lloyd kernel
+(similarity._lloyd_train_arrow) with m subspaces and L2 assignment — one
+zero-shuffle Arrow pass per iteration, each batch assigned with a matmul
+and collapsed to per-(subspace, code) partial sums before anything leaves
+the worker. Encoding (append_pq_codes) is one zero-shuffle Arrow map under
+the broadcast codebooks — no compare rows ever exist, even map-side.
+Codebooks are m·n_codes·(D/m) doubles — KBs; always broadcast, persisted
+beside the index. Query-side ADC (pq_lut / pq_score — tiny, Q·m·n_codes
+rows) stays in JVM built-ins."""
 
 from __future__ import annotations
 
@@ -44,14 +47,6 @@ def _sub_slices(vec_col, dim: int, m: int) -> list:
     ]
 
 
-def _l2sq(a, b) -> F.Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def _dot(a, b) -> F.Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -65,19 +60,84 @@ def _validate(dim: int, m: int, n_codes: int) -> None:
         raise ValueError("pq: n_codes must fit a smallint code")
 
 
-def _assign(sub: DataFrame, codebooks: DataFrame, id_col: str) -> DataFrame:
-    """(id, subspace, subvec) × broadcast codebooks → (id, subspace, code,
-    subvec): nearest centroid per subspace by squared L2, ties to the
-    lowest code — a combinable min_by, so only the assignment rows ever
-    shuffle (the compare rows exist map-side only)."""
-    joined = sub.join(F.broadcast(codebooks), "subspace").withColumn(
-        "_d", _l2sq(F.col("subvec"), F.col("centroid"))
+def collect_codebook_array(codebooks: DataFrame, m: int, dsub: int):
+    """Codebook table → (m, n_codes, dsub) float64, code-dense (training
+    emits the complete (subspace, code) grid; empty codes keep init)."""
+    import numpy as np
+
+    rows = codebooks.select("subspace", "code", "centroid").collect()
+    if not rows:
+        return np.zeros((m, 0, dsub))
+    n_codes = max(int(r["code"]) for r in rows) + 1
+    cb = np.zeros((m, n_codes, dsub))
+    seen = np.zeros((m, n_codes), dtype=bool)
+    for r in rows:
+        cb[int(r["subspace"]), int(r["code"])] = [float(x) for x in r["centroid"]]
+        seen[int(r["subspace"]), int(r["code"])] = True
+    if not seen.all():
+        raise ValueError(
+            "pq codebook table is not a complete (subspace, code) grid — "
+            "corrupted or partially-written codebooks"
+        )
+    return cb
+
+
+def append_pq_codes(
+    df: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int,
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Append every row's m-smallint PQ code — a ZERO-SHUFFLE Arrow map
+    under the GIVEN (stored) codebooks, shared by build, append and
+    compact. The codebook (m·n_codes·dsub doubles — KBs) is broadcast;
+    each Arrow batch is encoded with one BLAS matmul per subspace
+    (similarity._np_assign_l2: ties to the lowest code) and passes
+    through with the code column appended — no explode, no join, no
+    compare rows (the previous explode+min_by+join formulation shuffled
+    N×m assignment rows and re-joined them to the corpus)."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.types import ArrayType, ShortType, StructField, StructType
+
+    from .similarity import _batch_vectors_np, _np_assign_l2
+
+    _validate(dim, m, 32767)
+    dsub = dim // m
+    cb = collect_codebook_array(codebooks, m, dsub)
+    if cb.shape[1] == 0:
+        # empty codebooks (empty-corpus training): nothing is encodable —
+        # the same empty result the retired inner join produced
+        return df.filter(F.lit(False)).withColumn(
+            out_col, F.lit(None).cast("array<smallint>")
+        )
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(cb)
+    vidx = df.columns.index(vec_col)
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, ArrayType(ShortType()), False)]
     )
-    order = F.struct(F.col("_d").alias("d"), F.col("code").alias("c"))
-    return joined.groupBy(id_col, "subspace").agg(
-        F.min_by("code", order).alias("code"),
-        F.first("subvec").alias("subvec"),
-    )
+
+    def fn(batches):
+        cb_ = bc.value
+        m_, _, dsub_ = cb_.shape
+        for b in batches:
+            V = _batch_vectors_np(b.column(vidx), dim)
+            codes = np.empty((V.shape[0], m_), dtype=np.int16)
+            for s in range(m_):
+                codes[:, s] = _np_assign_l2(
+                    V[:, s * dsub_ : (s + 1) * dsub_], cb_[s]
+                )
+            offsets = np.arange(V.shape[0] + 1, dtype=np.int32) * m_
+            col = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.array(codes.reshape(-1), pa.int16()),
+            )
+            yield b.append_column(out_col, col)
+
+    return df.mapInArrow(fn, out_schema)
 
 
 def train_pq_codebooks(
@@ -99,51 +159,48 @@ def train_pq_codebooks(
     trains on a seeded fraction — PQ needs ~1k training points per code,
     not the corpus. Init is taken from the UNSAMPLED corpus: a sample that
     happens to come back empty must not silently produce empty codebooks
-    (pq_encode's inner join would then drop every corpus row into an
+    (encoding under them would then drop every corpus row into an
     empty-but-'successful' index); with init from the corpus head, an
-    empty sample degrades to init-only codebooks, never to data loss."""
+    empty sample degrades to init-only codebooks, never to data loss.
+
+    Training runs the SAME Lloyd kernel as the IVF coarse quantizer
+    (similarity._lloyd_train_arrow — one BLAS Arrow pass per iteration,
+    partial sums folded driver-side in a fixed order), with m subspaces
+    and L2 assignment instead of one space and rounded cosine."""
+    import numpy as np
+
+    from .similarity import _lloyd_train_arrow
+
     _validate(dim, m, n_codes)
     spark = embeddings.sparkSession
     init_rows = (
         embeddings.orderBy(id_col).select(vec_col).limit(n_codes).collect()
     )
-    if sample is not None:
-        embeddings = embeddings.sample(False, sample, seed=11)
     if not init_rows:
         return spark.createDataFrame([], CODEBOOK_SCHEMA)
+    if sample is not None:
+        embeddings = embeddings.sample(False, sample, seed=11)
     dsub = dim // m
-    cb = [
-        (s, c, [float(x) for x in row[0][s * dsub : (s + 1) * dsub]])
-        for s in range(m)
-        for c, row in enumerate(init_rows)
-    ]
-    sub = embeddings.select(
-        id_col, F.explode(F.array(*_sub_slices(F.col(vec_col), dim, m))).alias("t")
-    ).select(id_col, "t.subspace", "t.subvec")
-    for _ in range(n_iter):
-        cb_df = spark.createDataFrame(cb, CODEBOOK_SCHEMA)
-        assign = _assign(sub, cb_df, id_col)
-        comp = (
-            assign.select(
-                "subspace", "code", F.posexplode("subvec").alias("i", "v")
-            )
-            .groupBy("subspace", "code", "i")
-            .agg(F.avg("v").alias("c"))
-        )
-        new = {
-            (int(r["subspace"]), int(r["code"])): r["arr"]
-            for r in comp.groupBy("subspace", "code")
-            .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("s"))
-            .select(
-                "subspace", "code",
-                F.transform("s", lambda x: x["c"]).alias("arr"),
-            )
-            .collect()
-        }
-        cb = [
-            (s, c, [float(x) for x in new.get((s, c), old)]) for s, c, old in cb
-        ]
-    return spark.createDataFrame(cb, CODEBOOK_SCHEMA)
+    k = len(init_rows)
+    cb0 = np.array(
+        [
+            [
+                [float(x) for x in row[0][s * dsub : (s + 1) * dsub]]
+                for row in init_rows
+            ]
+            for s in range(m)
+        ],
+        dtype=np.float64,
+    )
+    cb = _lloyd_train_arrow(embeddings, vec_col, dim, cb0, "l2", n_iter)
+    return spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in cb[s, c]])
+            for s in range(m)
+            for c in range(k)
+        ],
+        CODEBOOK_SCHEMA,
+    )
 
 
 def pq_encode(
@@ -155,23 +212,13 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """→ (id_col, pq_code: array<smallint>) under the GIVEN (stored)
-    codebooks — shared by build and append, like the IVF quantizer."""
-    sub = embeddings.select(
-        id_col, F.explode(F.array(*_sub_slices(F.col(vec_col), dim, m))).alias("t")
-    ).select(id_col, "t.subspace", "t.subvec")
-    assign = _assign(sub, codebooks, id_col)
-    return (
-        assign.groupBy(id_col)
-        .agg(
-            F.array_sort(F.collect_list(F.struct("subspace", "code"))).alias("s")
-        )
-        .select(
-            id_col,
-            F.transform("s", lambda x: x["code"].cast("smallint")).alias(
-                "pq_code"
-            ),
-        )
-    )
+    codebooks — shared by build and append, like the IVF quantizer.
+    One zero-shuffle Arrow map (append_pq_codes); empty codebooks (an
+    empty-corpus training) yield the empty result the retired inner-join
+    formulation produced."""
+    return append_pq_codes(
+        embeddings.select(id_col, vec_col), codebooks, dim, m, vec_col=vec_col
+    ).select(id_col, "pq_code")
 
 
 def pq_lut(

@@ -406,6 +406,97 @@ def ivf_topk(
     )
 
 
+def _lloyd_train_arrow(
+    train: DataFrame,
+    vec_col: str,
+    dim: int,
+    cb0: "np.ndarray",
+    metric: str,
+    n_iter: int,
+    round_dp: int = 9,
+) -> "np.ndarray":
+    """THE Lloyd's-iteration kernel, shared by the IVF coarse quantizer
+    (m=1, rounded-cosine assignment) and the PQ codebooks (m subspaces,
+    L2 assignment) — one implementation so the two trainers cannot drift
+    numerically (VERDICT r05 #6).
+
+    ``cb0``: (m, k, dsub) float64 initial codebook, m·dsub == dim. Per
+    iteration, ONE zero-shuffle Arrow pass over the vector column: each
+    batch is assigned with a BLAS matmul and collapsed to per-(subspace,
+    code) partial sums BEFORE anything leaves the worker — the rows that
+    travel are (#batches × m × codes-present), never N. The driver
+    finishes the average in a FIXED order (sorted by (sub, code,
+    partition, batch)), so training is bit-deterministic for a given
+    input partitioning — no dependence on task completion order. Empty
+    clusters keep their previous centroid."""
+    import pyarrow as pa
+
+    spark = train.sparkSession
+    m, k, dsub = cb0.shape
+    if m * dsub != dim:
+        raise ValueError(f"codebook shape {cb0.shape} does not tile dim={dim}")
+    vec_only = train.select(vec_col)
+    out_schema = (
+        "pid long, bid long, sub int, code long, n long, psum array<double>"
+    )
+    for _ in range(n_iter):
+        bc = spark.sparkContext.broadcast(cb0)
+
+        def fn(batches, _bc=bc):
+            from pyspark import TaskContext
+
+            cb = _bc.value
+            m_, k_, dsub_ = cb.shape
+            pid = TaskContext.get().partitionId()
+            for bid, b in enumerate(batches):
+                V = _batch_vectors_np(b.column(0), dim)
+                if V.shape[0] == 0:
+                    continue
+                pids, bids, subs, codes, ns, psums = [], [], [], [], [], []
+                for s in range(m_):
+                    Vs = V[:, s * dsub_ : (s + 1) * dsub_]
+                    if metric == "cosine":
+                        idx = _np_assign_cosine(
+                            Vs, cb[s], np.linalg.norm(cb[s], axis=1), round_dp
+                        )
+                    else:
+                        idx = _np_assign_l2(Vs, cb[s])
+                    counts = np.bincount(idx, minlength=k_)
+                    sums = np.zeros((k_, dsub_))
+                    np.add.at(sums, idx, Vs)  # unbuffered: in-batch order
+                    for c in np.nonzero(counts)[0]:
+                        pids.append(pid)
+                        bids.append(bid)
+                        subs.append(s)
+                        codes.append(int(c))
+                        ns.append(int(counts[c]))
+                        psums.append(sums[c])
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(pids, pa.int64()),
+                        pa.array(bids, pa.int64()),
+                        pa.array(subs, pa.int32()),
+                        pa.array(codes, pa.int64()),
+                        pa.array(ns, pa.int64()),
+                        pa.array([list(p) for p in psums], pa.list_(pa.float64())),
+                    ],
+                    names=["pid", "bid", "sub", "code", "n", "psum"],
+                )
+
+        part = vec_only.mapInArrow(fn, out_schema).collect()
+        part.sort(key=lambda r: (r["sub"], r["code"], r["pid"], r["bid"]))
+        sums = np.zeros_like(cb0)
+        counts = np.zeros((m, k))
+        for r in part:
+            sums[r["sub"], r["code"]] += np.asarray(r["psum"])
+            counts[r["sub"], r["code"]] += r["n"]
+        nxt = cb0.copy()
+        mask = counts > 0
+        nxt[mask] = sums[mask] / counts[mask][:, None]
+        cb0 = nxt
+    return cb0
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     k: int = 16,
@@ -419,12 +510,13 @@ def kmeans_centroids(
 
     Deterministic throughout: init = the k lowest-id vectors (ids are
     content-derived or dense — either way stable); assignment ties break by
-    cell_id. Each iteration is ONE broadcast-join + map-side-combinable
-    argmin pass over the corpus (see _nearest_cells) and ONE component
-    aggregate — per-iteration shuffle is N assignment rows + k·dim
-    component rows, never N×C. Centroids live driver-side between
-    iterations (k·dim doubles — KBs to MBs; that smallness is what makes a
-    coarse quantizer coarse). Empty cells keep their previous centroid.
+    cell_id. Each iteration is ONE zero-shuffle Arrow pass (the shared
+    _lloyd_train_arrow kernel): every batch is BLAS-assigned against the
+    broadcast quantizer and collapsed to per-cell partial sums on the
+    worker, so only (#batches × cells-present) rows ever travel — never N,
+    never N×C. Centroids live driver-side between iterations (k·dim
+    doubles — KBs to MBs; that smallness is what makes a coarse quantizer
+    coarse). Empty cells keep their previous centroid.
 
     ``sample``: train on a seeded fraction of the corpus — the standard
     practice at scale (a coarse quantizer needs ~100-1000 training vectors
@@ -442,41 +534,135 @@ def kmeans_centroids(
     if dim_row is None:
         return spark.createDataFrame([], "cell_id long, centroid array<double>")
     init = [
-        (int(i), [float(x) for x in v])
-        for i, (v,) in enumerate(
-            embeddings.orderBy(id_col).select(vec_col).limit(k).collect()
-        )
+        [float(x) for x in v]
+        for (v,) in embeddings.orderBy(id_col).select(vec_col).limit(k).collect()
     ]
+    if not init:
+        return spark.createDataFrame([], "cell_id long, centroid array<double>")
     if sample is not None:
         embeddings = embeddings.sample(False, sample, seed=7)
-    cents = spark.createDataFrame(init, "cell_id long, centroid array<double>")
-    for _ in range(n_iter):
-        assign = _nearest_cells(
-            embeddings.select(id_col, vec_col), cents, 1,
-            id_col, vec_col, "cell_id", "centroid", "_r",
+    dim = int(dim_row["d"])
+    cb = _lloyd_train_arrow(
+        embeddings, vec_col, dim,
+        np.asarray(init, dtype=np.float64)[None, :, :], "cosine", n_iter,
+    )
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(cb[0])],
+        "cell_id long, centroid array<double>",
+    )
+
+
+def _round_half_up_np(arr, dp: int):
+    """Spark F.round's decimal HALF_UP (half away from zero) on an ndarray
+    — numpy's np.round is half-to-even, which would resolve an exact-half
+    value to the OTHER neighbor and diverge from the Catalyst paths."""
+    scale = 10.0 ** dp
+    return np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale
+
+
+def _batch_vectors_np(col, dim: int) -> "np.ndarray":
+    """Arrow list<float/double> column → (n, dim) float64 with NO
+    per-element Python objects (flatten respects list offsets)."""
+    if col.null_count:
+        raise ValueError(
+            "embedding column contains nulls — vector rows must be dense"
         )
-        comp = assign.select(
-            "cell_id", F.posexplode(vec_col).alias("i", "v")
-        ).groupBy("cell_id", "i").agg(
-            F.avg(F.col("v").cast("double")).alias("c")
+    flat = np.asarray(col.flatten(), dtype=np.float64)
+    if flat.size != len(col) * dim:
+        raise ValueError(
+            f"embedding column is not uniformly {dim}-dimensional "
+            f"({flat.size} components over {len(col)} rows)"
         )
-        new_rows = {
-            int(r["cell_id"]): r["arr"]
-            for r in comp.groupBy("cell_id")
-            .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("s"))
-            .select(
-                "cell_id", F.transform("s", lambda x: x["c"]).alias("arr")
+    return flat.reshape(-1, dim)
+
+
+def _np_assign_cosine(V, C, Cn, round_dp: int = 9) -> "np.ndarray":
+    """Row-wise nearest centroid by ROUNDED cosine, replicating the
+    Catalyst min_by ordering exactly: cosine rounded HALF_UP at round_dp,
+    ties to the LOWEST centroid index (C rows must be id-sorted), NaN
+    cosines (zero norms) lose to every real value — and an all-NaN row
+    (zero vector) falls to index 0, the lowest id, exactly as min_by
+    resolves an all-equal-NaN tie by the id tie-breaker."""
+    dots = V @ C.T
+    Vn = np.linalg.norm(V, axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cos = dots / (Vn[:, None] * Cn[None, :])
+    cos = _round_half_up_np(cos, round_dp)
+    cos = np.where(np.isnan(cos), -np.inf, cos)
+    return np.argmax(cos, axis=1)
+
+
+def _np_assign_l2(V, C) -> "np.ndarray":
+    """Row-wise nearest centroid by squared L2, ties to the lowest index
+    (argmin-first over id-sorted rows). ‖v‖² is constant per row, so the
+    argmin ranks by the expansion −2·v·c + ‖c‖² — one BLAS matmul."""
+    score = -2.0 * (V @ C.T) + (C * C).sum(axis=1)[None, :]
+    return np.argmin(score, axis=1)
+
+
+def collect_centroid_matrix(
+    centroids: DataFrame, c_id_col: str = "cell_id", c_vec_col: str = "centroid"
+):
+    """(cell_id-sorted ids int64, (k, dim) float64) from a quantizer table
+    — k·dim doubles, KBs-to-MBs by the definition of a COARSE quantizer."""
+    rows = centroids.select(c_id_col, c_vec_col).collect()
+    rows.sort(key=lambda r: int(r[0]))
+    ids = np.array([int(r[0]) for r in rows], dtype=np.int64)
+    mat = np.array([[float(x) for x in r[1]] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def assign_nearest_cell(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    c_id_col: str = "cell_id",
+    c_vec_col: str = "centroid",
+    round_dp: int = 9,
+) -> DataFrame:
+    """Append every row's nearest-centroid id — the IVF assignment — as a
+    ZERO-SHUFFLE Arrow map: the quantizer (k·dim doubles) is broadcast,
+    each Arrow batch of vectors is scored against it with ONE BLAS matmul
+    (`V @ C.T`), and the batch passes through with a cell_id column
+    appended. Nothing shuffles, no compare rows ever exist even map-side —
+    vs the previous min_by formulation whose per-element Catalyst lambda
+    math was the build wall at auto-sized k (N×√N fold-multiplies;
+    VERDICT r05 #1; the reference delegates exactly this kernel to C++,
+    SURVEY §2 preamble).
+
+    Tie/NaN semantics replicate the retired min_by plan bit-for-bit (see
+    _np_assign_cosine); the 9-dp HALF_UP rounding keeps this path, the
+    stored probes, AnnReader, and the SQL oracles agreeing on assignments.
+    Every input column rides the Arrow batch through unchanged."""
+    import pyarrow as pa
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = vecs.sparkSession
+    cids, C = collect_centroid_matrix(centroids, c_id_col, c_vec_col)
+    if len(cids) == 0:
+        # no centroids (empty-corpus training) → no assignable rows, the
+        # same result the retired crossJoin-against-empty plan produced
+        return vecs.filter(F.lit(False)).withColumn(
+            c_id_col, F.lit(None).cast("long")
+        )
+    dim = C.shape[1]
+    bc = spark.sparkContext.broadcast((cids, C))
+    vidx = vecs.columns.index(vec_col)
+    out_schema = StructType(
+        vecs.schema.fields + [StructField(c_id_col, LongType(), False)]
+    )
+
+    def fn(batches):
+        cids_, C_ = bc.value
+        Cn = np.linalg.norm(C_, axis=1)
+        for b in batches:
+            V = _batch_vectors_np(b.column(vidx), dim)
+            idx = _np_assign_cosine(V, C_, Cn, round_dp)
+            yield b.append_column(
+                c_id_col, pa.array(cids_[idx], type=pa.int64())
             )
-            .collect()
-        }
-        init = [
-            (cid, [float(x) for x in new_rows.get(cid, old)])
-            for cid, old in init
-        ]
-        cents = spark.createDataFrame(
-            init, "cell_id long, centroid array<double>"
-        )
-    return cents
+
+    return vecs.mapInArrow(fn, out_schema)
 
 
 def _nearest_cells(
@@ -492,25 +678,18 @@ def _nearest_cells(
     """(… vec cols …, cell_id) for each vector's n_nearest centroids by
     cosine (ties broken by cell_id asc — deterministic cross-engine).
 
-    n_nearest == 1 (the DATA side — every vector in the corpus) uses a
-    map-side-combinable min_by aggregate: the N×C comparison rows collapse
-    to one row per vector BEFORE the exchange, so only N rows shuffle. A
-    window/rank here would shuffle all N×C rows — a 10^5× amplification at
-    10^12 vectors with a 10^5-cell quantizer. The compare work itself is
-    N×C either way (that IS IVF assignment); the shuffle must not be.
-    n_nearest > 1 (the QUERY side — Q·nprobe rows, tiny) keeps the window."""
+    n_nearest == 1 (the DATA side — every vector in the corpus) is the
+    zero-shuffle BLAS map (assign_nearest_cell): broadcast quantizer, one
+    matmul per Arrow batch, cell_id appended in place. n_nearest > 1 (the
+    QUERY side — Q·nprobe rows, tiny) keeps the broadcast-crossJoin window
+    — it is Q×C rows of JVM expression, not a corpus-sized job."""
+    if n_nearest == 1:
+        return assign_nearest_cell(
+            vecs, centroids, vec_col, c_id_col, c_vec_col
+        )
     joined = vecs.crossJoin(F.broadcast(centroids)).withColumn(
         "_ccos", F.round(cosine_col(F.col(vec_col), F.col(c_vec_col)), 9)
     )
-    if n_nearest == 1:
-        order = F.struct(
-            (-F.col("_ccos")).alias("nc"), F.col(c_id_col).alias("cid")
-        )
-        carried = [c for c in vecs.columns if c != id_col]
-        return joined.groupBy(id_col).agg(
-            F.min_by(c_id_col, order).alias(c_id_col),
-            *[F.first(c).alias(c) for c in carried],
-        )
     w = Window.partitionBy(id_col).orderBy(F.desc("_ccos"), F.asc(c_id_col))
     return (
         joined.withColumn(rank_col, F.row_number().over(w))
