@@ -220,6 +220,30 @@ def cmd_ann_ingest(args) -> int:
     return 0
 
 
+def cmd_ann_delete(args) -> int:
+    spark = _spark(args)
+    spark.sparkContext.setLogLevel("WARN")
+    from .operators.ann_index import delete_ann_vectors
+
+    ids = [int(v) for v in args.ids.split(",") if v.strip() != ""]
+    n = delete_ann_vectors(spark, args.index, ids)
+    print(json.dumps({"deleted": n}))
+    return 0
+
+
+def cmd_ann_update(args) -> int:
+    spark = _spark(args)
+    spark.sparkContext.setLogLevel("WARN")
+    from .operators.ann_index import update_ann_vectors
+
+    emb = spark.read.parquet(args.input)
+    update_ann_vectors(
+        spark, args.index, emb, id_col=args.id_col, vec_col=args.vec_col
+    )
+    print(json.dumps({"updated": emb.count()}))
+    return 0
+
+
 def cmd_ann_compact(args) -> int:
     spark = _spark(args)
     spark.sparkContext.setLogLevel("WARN")
@@ -345,6 +369,27 @@ def main(argv: list[str] | None = None) -> int:
     ai.add_argument("--staging", required=True)
     ai.add_argument("--index", required=True)
     ai.set_defaults(fn=cmd_ann_ingest)
+
+    ad = sub.add_parser(
+        "ann-delete",
+        help="tombstone vectors by id (merge-on-read; bytes reclaimed at "
+        "the next ann-compact)",
+    )
+    ad.add_argument("--index", required=True)
+    ad.add_argument(
+        "--ids", required=True, help="comma-separated vec_ids to delete"
+    )
+    ad.set_defaults(fn=cmd_ann_delete)
+
+    au = sub.add_parser(
+        "ann-update",
+        help="upsert re-encoded vectors (delete + append in one call)",
+    )
+    au.add_argument("--index", required=True)
+    au.add_argument("--input", required=True, help="parquet of new vectors")
+    au.add_argument("--id-col", default="vec_id")
+    au.add_argument("--vec-col", default="embedding")
+    au.set_defaults(fn=cmd_ann_update)
 
     hy = sub.add_parser(
         "hybrid-search",

@@ -15,6 +15,9 @@ layout as the block index:
                             partitioned by tbl, bucket-sorted within files
   <root>/ivf_centroids/   — (cell_id, centroid) coarse quantizer
   <root>/ivf_cells/       — (vec_id, embedding) partitioned by cell_id
+  <root>/deleted_ids/     — (vec_id, gen) tombstones (delete_ann_vectors);
+                            merge-on-read: probes drop rows with
+                            gen <= tombstone gen, compact reclaims bytes
 
 A probe then reads ONLY its buckets/cells: `tbl` and `cell_id` are hive
 partition columns (directory pruning) and `bucket` is the within-file sort
@@ -37,7 +40,71 @@ from pyspark.sql import functions as F
 from ..sources.tables import IndexStorage
 from . import similarity as sim
 
-ANN_VERSION = 1
+# version 2 adds the row-generation column (`gen`) to rh_buckets/ivf_cells
+# and with it delete/update support (tombstone merge-on-read, below).
+# Version-1 indexes keep working read-only+append; delete raises with a
+# rebuild message (their rows carry no gen to compare tombstones against).
+ANN_VERSION = 2
+
+
+def _gen_enabled(meta: dict) -> bool:
+    return int(meta.get("version", 1)) >= 2
+
+
+def _tombstones(spark: SparkSession, store: IndexStorage) -> DataFrame | None:
+    """(vec_id, gen) — the max tombstone generation per deleted id, or None
+    when nothing was ever deleted (the common case: zero overhead). A row
+    is DEAD iff a tombstone exists for its vec_id with tombstone.gen >=
+    row.gen — so an update's re-appended row (stamped a LATER gen than the
+    delete that preceded it) stays live while every earlier physical row
+    of the same id is dead. The table is delete-sized, never corpus-sized:
+    always broadcast."""
+    if not store.exists("deleted_ids"):
+        return None
+    return (
+        store.read(spark, "deleted_ids")
+        .groupBy("vec_id")
+        .agg(F.max("gen").alias("gen"))
+    )
+
+
+def _filter_dead(df: DataFrame, ts: DataFrame | None) -> DataFrame:
+    """Drop tombstoned rows from an index-table scan (merge-on-read).
+    MUST run BEFORE any per-query dedup (dropDuplicates / np.unique picks
+    an arbitrary row — after an update that could be the superseded
+    vector). Broadcast anti-join: vec_id equi-key + gen inequality rides
+    as the extra join condition, so this stays a BroadcastHashJoin."""
+    if ts is None:
+        return df
+    t = ts.select(
+        F.col("vec_id").alias("_ts_vid"), F.col("gen").alias("_ts_gen")
+    )
+    return df.join(
+        F.broadcast(t),
+        (F.col("vec_id") == F.col("_ts_vid"))
+        & (F.col("gen") <= F.col("_ts_gen")),
+        "left_anti",
+    )
+
+
+def _next_gen(store: IndexStorage, meta: dict) -> int:
+    """Generation stamp for the NEXT mutation (append or delete): one past
+    everything any existing tombstone could reference — max(persisted
+    watermark, max tombstone gen) + 1. Derived from the tables themselves
+    (plus the compact-maintained watermark in _meta.json), so no counter
+    file can drift from the data; the single-writer posture of every other
+    mutating verb (append/ingest/compact) is assumed here too."""
+    base = int(meta.get("gen_watermark", 0))
+    if store.exists("deleted_ids"):
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        tbl = pads.dataset(
+            store.path("deleted_ids"), format="parquet"
+        ).to_table(columns=["gen"])
+        if tbl.num_rows:
+            base = max(base, int(pc.max(tbl.column("gen")).as_py()))
+    return base + 1
 
 
 def auto_ivf_k(n_vectors: int, max_k: int = 65536) -> int:
@@ -172,6 +239,7 @@ def build_ann_index(
                 "pq_n_iter": pq_n_iter,
                 "pq_train_sample": pq_train_sample,
                 "n_at_build": n_at_build,
+                "gen_watermark": 0,
                 "version": ANN_VERSION,
             }
         )
@@ -297,20 +365,45 @@ def _check_build_config(meta: dict, passed: dict) -> None:
         )
 
 
+def _stamp_gen(
+    embeddings: DataFrame, meta: dict, gen: int | None
+) -> tuple[DataFrame, list[str]]:
+    """Normalize the row-generation column for an index write: v2 metas
+    stamp ``gen`` (build=0, append=_next_gen) or pass an existing per-row
+    column through unchanged (gen=None — compaction, which must PRESERVE
+    generations so stale tombstones keep referencing only removed rows);
+    v1 metas emit nothing (schema stability for pre-delete indexes)."""
+    if not _gen_enabled(meta):
+        return embeddings, []
+    if gen is None:
+        if "gen" not in embeddings.columns:
+            raise ValueError(
+                "_stamp_gen: gen=None passes the existing per-row gen "
+                "column through, but the input has none"
+            )
+        return embeddings, ["gen"]
+    return (
+        embeddings.withColumn("gen", F.lit(int(gen)).cast("long")),
+        ["gen"],
+    )
+
+
 def _rh_rows(
     embeddings: DataFrame,
     meta: dict,
     id_col: str,
     vec_col: str,
     codebooks: DataFrame | None = None,
+    gen: int | None = 0,
 ) -> DataFrame:
-    """(vec_id[, embedding | pq_code], *meta_cols, tbl, bucket) rows under
-    the index's OWN plane config — the ONE bucketing used by build and
-    append (a divergence between the two would silently split the bucket
-    space). Payload column by meta: full → the vector; pq → the m-smallint
-    PQ code (encoded under the GIVEN stored codebooks — required then);
-    ids → neither (vectors fetched from ivf_cells at probe time)."""
+    """(vec_id[, embedding | pq_code], *meta_cols, gen, tbl, bucket) rows
+    under the index's OWN plane config — the ONE bucketing used by build
+    and append (a divergence between the two would silently split the
+    bucket space). Payload column by meta: full → the vector; pq → the
+    m-smallint PQ code (encoded under the GIVEN stored codebooks — required
+    then); ids → neither (vectors fetched from ivf_cells at probe time)."""
     mcols = tuple(meta.get("meta_cols", ()))
+    embeddings, gcols = _stamp_gen(embeddings, meta, gen)
     with_vec = meta.get("rh_store_vectors", True)
     with_pq = bool(meta.get("pq"))
     if with_pq:
@@ -341,12 +434,13 @@ def _rh_rows(
         payload.append(F.col("pq_code"))
     extra_in = ["pq_code"] if with_pq else []
     return embeddings.select(
-        id_col, vec_col, *extra_in, *mcols,
+        id_col, vec_col, *extra_in, *mcols, *gcols,
         F.explode(F.array(*tables_d)).alias("tb"),
     ).select(
         F.col(id_col).alias("vec_id"),
         *payload,
         *mcols,
+        *gcols,
         F.col("tb.tbl").alias("tbl"),
         F.col("tb.bucket").alias("bucket"),
     )
@@ -359,14 +453,16 @@ def _ivf_rows(
     id_col: str,
     vec_col: str,
     codebooks: DataFrame | None = None,
+    gen: int | None = 0,
 ) -> DataFrame:
-    """(vec_id, embedding[, pq_code], *meta_cols, cell_id) rows assigned
+    """(vec_id, embedding[, pq_code], *meta_cols, gen, cell_id) rows assigned
     under the GIVEN (stored) quantizer — shared by build and append. A PQ
     index stores the codes HERE too (+~2% bytes): an IVF probe can then
     scan only the narrow (vec_id, pq_code) columns for ADC scoring and
     read the wide embedding column for just the re-rank survivors —
     dim·8/m× less scan IO per probe (ivf_topk_stored(rerank=…))."""
     mcols = tuple(meta.get("meta_cols", ()))
+    embeddings, gcols = _stamp_gen(embeddings, meta, gen)
     code_cols = []
     if meta.get("pq"):
         if codebooks is None:
@@ -379,14 +475,15 @@ def _ivf_rows(
         embeddings = embeddings.join(codes, id_col)
         code_cols = ["pq_code"]
     assign = sim._nearest_cells(
-        embeddings.select(id_col, vec_col, *code_cols, *mcols), centroids, 1,
-        id_col, vec_col, "cell_id", "centroid", "_r",
+        embeddings.select(id_col, vec_col, *code_cols, *mcols, *gcols),
+        centroids, 1, id_col, vec_col, "cell_id", "centroid", "_r",
     )
     return assign.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
         *code_cols,
         *mcols,
+        *gcols,
         "cell_id",
     )
 
@@ -407,18 +504,25 @@ def append_ann_vectors(
     assigned under), then parquet-appended into the same partition layout,
     so every stored query path sees old+new with no rebuild.
 
-    Contract: vec_ids must be NEW (re-encoded docs need a compact/rebuild,
-    exactly like re-crawled urls in the postings stream). validate_ids
-    (default on) ENFORCES it with one bare-id semi-join against the
-    existing index before writing — a colliding id would otherwise make
-    every query path's dedup pick an arbitrary one of two different
-    vectors, silently. Pass False only when ids are provably disjoint
-    (e.g. monotonic allocation) and the extra scan matters. Drift note: a
-    quantizer trained long ago may assign new data badly — recall SLOWLY
-    degrades, queries stay correct; periodically rebuild (the same
-    compaction posture as the block index)."""
+    Contract: vec_ids must be NEW among the LIVE rows (a previously
+    DELETED id may be re-appended — that is exactly what
+    update_ann_vectors does). validate_ids (default on) ENFORCES it with
+    one bare-id semi-join against the existing live index before writing —
+    a colliding live id would otherwise make every query path's dedup pick
+    an arbitrary one of two different vectors, silently. Pass False only
+    when ids are provably disjoint (e.g. monotonic allocation) and the
+    extra scan matters. Drift note: a quantizer trained long ago may
+    assign new data badly — recall SLOWLY degrades, queries stay correct;
+    periodically rebuild (the same compaction posture as the block
+    index)."""
     store = IndexStorage(index_dir)
+    _check_compact_marker(store)
     meta = store.read_meta()
+    ts = _tombstones(spark, store)
+    # stamp appended rows one generation past every existing tombstone:
+    # a delete-then-reappend (update) leaves the new row live while the
+    # tombstone keeps killing the superseded physical rows
+    gen = _next_gen(store, meta) if _gen_enabled(meta) else None
     if validate_ids:
         # the batch itself must be id-unique too — .distinct() below would
         # otherwise HIDE two new rows sharing an id (appending both
@@ -437,34 +541,122 @@ def append_ann_vectors(
                 "unique within the batch as well as against the index."
             )
         new_ids = new_embeddings.select(F.col(id_col).alias("vec_id")).distinct()
+        existing = store.read(new_embeddings.sparkSession, "ivf_cells")
+        cols = ["vec_id", "gen"] if _gen_enabled(meta) else ["vec_id"]
+        # clash = an id that is still LIVE: tombstoned rows don't count (a
+        # re-append after delete is the supported update flow)
         clash = (
-            store.read(new_embeddings.sparkSession, "ivf_cells")
-            .select("vec_id")
+            _filter_dead(existing.select(*cols), ts)
             .join(new_ids, "vec_id", "left_semi")
             .limit(1)
             .collect()
         )
         if clash:
             raise ValueError(
-                f"append_ann_vectors: vec_id {clash[0]['vec_id']} already "
-                "exists in the index — appended ids must be NEW (query-path "
+                f"append_ann_vectors: vec_id {clash[0]['vec_id']} is live "
+                "in the index — appended ids must be NEW (query-path "
                 "dedup would pick an arbitrary one of two vectors). "
-                "Re-encoded docs need a rebuild; offset new ids (e.g. "
-                "client.encode(texts, id_offset=...))."
+                "Re-encoded docs: update_ann_vectors / delete first; "
+                "or offset new ids (e.g. client.encode(texts, "
+                "id_offset=...))."
             )
     codebooks = (
         store.read(spark, "pq_codebooks") if meta.get("pq") else None
     )
     rows = _rh_rows(
-        new_embeddings, meta, id_col, vec_col, codebooks=codebooks
+        new_embeddings, meta, id_col, vec_col, codebooks=codebooks, gen=gen
     ).sortWithinPartitions("tbl", "bucket", "vec_id")
     store.append(rows, "rh_buckets", partition_by=["tbl"])
 
     cents = store.read(spark, "ivf_centroids")
     cells = _ivf_rows(
-        new_embeddings, cents, meta, id_col, vec_col, codebooks=codebooks
+        new_embeddings, cents, meta, id_col, vec_col, codebooks=codebooks,
+        gen=gen,
     ).sortWithinPartitions("cell_id", "vec_id")
     store.append(cells, "ivf_cells", partition_by=["cell_id"])
+
+
+def delete_ann_vectors(
+    spark: SparkSession,
+    index_dir: str,
+    ids,
+) -> int:
+    """DELETE vectors from a persisted ANN index — merge-on-read
+    tombstones, the reference's `/delete` endpoint over its resident index
+    (docs/user-guides/retriever.md:203-204,225). Nothing is rewritten:
+    one (vec_id, gen) tombstone row per id is appended to ``deleted_ids``,
+    stamped one generation past every prior mutation; EVERY probe path
+    (rh/ivf stored paths, AnnReader, hybrid serving) then drops index rows
+    with gen <= their id's tombstone gen before any per-query dedup. The
+    bytes heal at the next compact_ann_index, which physically removes
+    dead rows and clears the tombstones (same merge-on-read posture as
+    compact_streamed_index's latest-crawl-wins).
+
+    ``ids``: iterable of ints or a DataFrame with a ``vec_id`` column.
+    Deleting an absent id is a no-op tombstone (idempotent; swept by
+    compact). Returns the number of tombstones written."""
+    store = IndexStorage(index_dir)
+    _check_compact_marker(store)
+    meta = store.read_meta()
+    if not _gen_enabled(meta):
+        raise ValueError(
+            "delete_ann_vectors: this index was built before delete "
+            "support (version < 2 — its rows carry no generation column "
+            "to compare tombstones against). Rebuild it to enable "
+            "delete/update."
+        )
+    g = _next_gen(store, meta)
+    if isinstance(ids, DataFrame):
+        tomb = ids.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.lit(g).cast("long").alias("gen"),
+        ).dropDuplicates(["vec_id"])
+        n = tomb.count()
+    else:
+        vals = sorted({int(i) for i in ids})
+        n = len(vals)
+        if n == 0:
+            return 0
+        tomb = spark.createDataFrame(
+            [(v, g) for v in vals], "vec_id long, gen long"
+        )
+    store.append(tomb, "deleted_ids")
+    return n
+
+
+def update_ann_vectors(
+    spark: SparkSession,
+    index_dir: str,
+    new_embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """UPSERT re-encoded vectors — delete + append in one call, the
+    reference's `/update` endpoint (retriever.md:203-204). The batch's ids
+    are tombstoned at generation g (killing any existing physical rows),
+    then the new rows are appended at g+1 — probes see exactly the new
+    vector, compact physically reclaims the old one. Ids not previously
+    indexed are fine (their tombstone kills nothing)."""
+    # batch-dup check BEFORE the delete: append would raise on a dup batch
+    # AFTER the tombstones landed — ids deleted but never re-added
+    dup = (
+        new_embeddings.groupBy(F.col(id_col))
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"update_ann_vectors: {id_col} {dup[0][0]} appears more than "
+            "once in the batch — refusing before any tombstone is written."
+        )
+    delete_ann_vectors(
+        spark, index_dir, new_embeddings.select(F.col(id_col).alias("vec_id"))
+    )
+    append_ann_vectors(
+        spark, index_dir, new_embeddings, id_col=id_col, vec_col=vec_col
+    )
 
 
 def compact_ann_index(
@@ -501,17 +693,28 @@ def compact_ann_index(
         )
     meta = store.read_meta()
     mcols = tuple(meta.get("meta_cols", ()))
+    gcols = ["gen"] if _gen_enabled(meta) else []
     target = spark.sparkContext.defaultParallelism * 2
 
-    cells = store.read(spark, "ivf_cells")
+    # merge-on-read heals HERE: tombstoned rows are dropped from both
+    # rewrites; surviving rows KEEP their generations (resetting them
+    # would let a stale tombstone — cleared only at the very end — kill a
+    # survivor, so preservation is what makes the clear pure hygiene: a
+    # crash at any point leaves tombstones that reference only rows this
+    # compact already removed)
+    ts = _tombstones(spark, store)
+    new_watermark = _next_gen(store, meta) if ts is not None else None
+    cells = _filter_dead(store.read(spark, "ivf_cells"), ts)
     # full-row dedup: a crash between ingest_staged_vectors' rh append and
     # its ivf append makes the re-run re-append the same rh rows (its
     # idempotence anti-join checks ivf_cells, the authoritative table) —
     # probes dedupe at query time; compaction is where the bytes heal
-    rh_rows = store.read(spark, "rh_buckets").dropDuplicates()
+    rh_rows = _filter_dead(
+        store.read(spark, "rh_buckets").dropDuplicates(), ts
+    )
     cents_tmp = cb_tmp = None
     if retrain:
-        vecs = cells.select("vec_id", "embedding", *mcols)
+        vecs = cells.select("vec_id", "embedding", *mcols, *gcols)
         cents = sim.kmeans_centroids(
             vecs, k=meta["ivf_k"], n_iter=meta["ivf_n_iter"],
             id_col="vec_id", vec_col="embedding",
@@ -534,9 +737,13 @@ def compact_ann_index(
                 sample=meta["pq_train_sample"],
             )
             cb_tmp = store.write_tmp(cb, "pq_codebooks")
-            rh_rows = _rh_rows(vecs, meta, "vec_id", "embedding", codebooks=cb)
+            rh_rows = _rh_rows(
+                vecs, meta, "vec_id", "embedding", codebooks=cb,
+                gen=None if gcols else 0,
+            )
         cells = _ivf_rows(
-            vecs, cents, meta, "vec_id", "embedding", codebooks=cb
+            vecs, cents, meta, "vec_id", "embedding", codebooks=cb,
+            gen=None if gcols else 0,
         )
 
     splits = max(1, -(-target // max(meta["rh_n_tables"], 1)))
@@ -562,11 +769,11 @@ def compact_ann_index(
     cells_tmp = store.write_tmp(cells, "ivf_cells", partition_by=["cell_id"])
     if retrain:
         # abort-before-swap fence: the rewritten cell table must carry
-        # EXACTLY the input rows — ivf_cells is the only exact vector copy
-        # of id-only/PQ indexes, and a retrain that lost rows (e.g. a
+        # EXACTLY the LIVE input rows — ivf_cells is the only exact vector
+        # copy of id-only/PQ indexes, and a retrain that lost rows (e.g. a
         # degenerate quantizer assigning nothing) must never replace it.
-        # Both counts are cheap parquet-count scans; nothing has swapped yet.
-        n_in = store.read(spark, "ivf_cells").count()
+        # Both counts are cheap scans; nothing has swapped yet.
+        n_in = _filter_dead(store.read(spark, "ivf_cells"), ts).count()
         n_out = spark.read.parquet(store.path(cells_tmp)).count()
         if n_out != n_in:
             raise RuntimeError(
@@ -581,6 +788,19 @@ def compact_ann_index(
         store.swap("pq_codebooks", cb_tmp)
     store.swap("rh_buckets", rh_tmp)
     store.swap("ivf_cells", cells_tmp)
+    if ts is not None:
+        # tombstones now reference only physically-removed rows (survivors
+        # kept gens > their tombstone's), so clearing is hygiene, not
+        # correctness. Watermark FIRST: future mutations must stamp past
+        # the cleared tombstones' gens even after the table is gone — a
+        # crash between the two steps leaves both sources present, and
+        # _next_gen takes the max.
+        meta2 = store.read_meta()
+        meta2["gen_watermark"] = int(new_watermark)
+        store.write_meta(meta2)
+        import shutil as _shutil
+
+        _shutil.rmtree(store.path("deleted_ids"), ignore_errors=True)
     _clear_compact_marker(store)
 
 
@@ -680,6 +900,22 @@ class AnnReader:
             self._cent_norms = np.linalg.norm(self._centroids, axis=1)
         else:
             self._cell_ids = None
+        # tombstones (delete_ann_vectors): {vec_id: max gen killed}. A
+        # scanned row is live iff its gen EXCEEDS its id's tombstone gen —
+        # the same merge-on-read predicate the Spark paths anti-join with.
+        # Empty dict (the common case) = zero per-query overhead and no
+        # gen column read at all.
+        self._ts: dict[int, int] = {}
+        if self.store.exists("deleted_ids"):
+            ttbl = pads.dataset(
+                self.store.path("deleted_ids"), format="parquet"
+            ).to_table()
+            for v, g in zip(
+                ttbl.column("vec_id").to_pylist(),
+                ttbl.column("gen").to_pylist(),
+            ):
+                if g >= self._ts.get(v, -1):
+                    self._ts[int(v)] = int(g)
         self._pq_cb = None
         if self.meta.get("pq") and self.store.exists("pq_codebooks"):
             m, dsub = self.meta["pq_m"], self.meta["dim"] // self.meta["pq_m"]
@@ -694,6 +930,30 @@ class AnnReader:
             cb[ss, cc] = cents
             self._pq_cb = cb
             self._pq_n2 = (cb * cb).sum(axis=2)  # (m, n_codes)
+
+    def _cols(self, cols: list[str]) -> list[str]:
+        """Scan column list — the gen column rides along only when there
+        are tombstones to compare it against."""
+        return cols + ["gen"] if self._ts else cols
+
+    def _live_rows(self, tbl):
+        """Drop tombstoned rows from a scanned Arrow table (before any
+        dedup — np.unique would otherwise arbitrarily keep a superseded
+        row of an updated id). No-op without tombstones."""
+        import numpy as np
+        import pyarrow as pa
+
+        if not self._ts or tbl.num_rows == 0:
+            return tbl
+        ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
+        gens = np.asarray(tbl.column("gen"), dtype=np.int64)
+        ts = self._ts
+        mask = np.fromiter(
+            (ts.get(int(i), -1) < int(g) for i, g in zip(ids, gens)),
+            dtype=bool,
+            count=len(ids),
+        )
+        return tbl.filter(pa.array(mask))
 
     def _query_buckets(self, qvec, multi_probe: bool = True) -> list[tuple[int, int]]:
         import numpy as np
@@ -765,8 +1025,10 @@ class AnnReader:
         if self.meta.get("pq"):
             return self._search_pq(qvec, k, flt, rerank)
         if self.meta.get("rh_store_vectors", True):
-            tbl = self._rh_ds.to_table(
-                filter=flt, columns=["vec_id", "embedding"]
+            tbl = self._live_rows(
+                self._rh_ds.to_table(
+                    filter=flt, columns=self._cols(["vec_id", "embedding"])
+                )
             )
             ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
             # candidates dedupe across tables before the re-rank
@@ -775,7 +1037,9 @@ class AnnReader:
                 first
             ]
         else:
-            id_tbl = self._rh_ds.to_table(filter=flt, columns=["vec_id"])
+            id_tbl = self._live_rows(
+                self._rh_ds.to_table(filter=flt, columns=self._cols(["vec_id"]))
+            )
             ids = np.unique(np.asarray(id_tbl.column("vec_id"), dtype=np.int64))
             if len(ids) == 0:
                 return []
@@ -788,9 +1052,11 @@ class AnnReader:
         import numpy as np
         import pyarrow.compute as pc
 
-        fetched = self._ivf_ds.to_table(
-            filter=pc.field("vec_id").isin([int(i) for i in ids]),
-            columns=["vec_id", "embedding"],
+        fetched = self._live_rows(
+            self._ivf_ds.to_table(
+                filter=pc.field("vec_id").isin([int(i) for i in ids]),
+                columns=self._cols(["vec_id", "embedding"]),
+            )
         )
         fids = np.asarray(fetched.column("vec_id"), dtype=np.int64)
         order = np.argsort(fids)
@@ -833,7 +1099,11 @@ class AnnReader:
         import numpy as np
 
         m = self.meta["pq_m"]
-        tbl = self._rh_ds.to_table(filter=flt, columns=["vec_id", "pq_code"])
+        tbl = self._live_rows(
+            self._rh_ds.to_table(
+                filter=flt, columns=self._cols(["vec_id", "pq_code"])
+            )
+        )
         ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
         ids, first = np.unique(ids, return_index=True)
         if len(ids) == 0:
@@ -880,8 +1150,10 @@ class AnnReader:
             flt = flt & where
         if rerank is not None and self.meta.get("pq"):
             return self._search_pq_cells(qvec, k, flt, rerank)
-        tbl = self._ivf_ds.to_table(
-            filter=flt, columns=["vec_id", "embedding"]
+        tbl = self._live_rows(
+            self._ivf_ds.to_table(
+                filter=flt, columns=self._cols(["vec_id", "embedding"])
+            )
         )
         ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
         vecs = _list_col_to_2d(tbl.column("embedding"), self.meta["dim"])
@@ -895,7 +1167,11 @@ class AnnReader:
         import numpy as np
 
         m = self.meta["pq_m"]
-        tbl = self._ivf_ds.to_table(filter=flt, columns=["vec_id", "pq_code"])
+        tbl = self._live_rows(
+            self._ivf_ds.to_table(
+                filter=flt, columns=self._cols(["vec_id", "pq_code"])
+            )
+        )
         ids = np.asarray(tbl.column("vec_id"), dtype=np.int64)
         if len(ids) == 0:
             return []
@@ -1045,7 +1321,9 @@ def rh_topk_stored(
     for t, buckets in sorted(by_tbl.items()):
         p = (F.col("tbl") == t) & F.col("bucket").isin(sorted(buckets))
         pred = p if pred is None else (pred | p)
-    data = store.read(spark, "rh_buckets").where(pred)
+    data = _filter_dead(
+        store.read(spark, "rh_buckets").where(pred), _tombstones(spark, store)
+    )
     if where is not None:
         data = data.where(where)
     joined = data.join(F.broadcast(q_local), ["tbl", "bucket"])
@@ -1093,28 +1371,27 @@ def _fetch_exact_vectors(
     DataFrame escapes), and the pushed id set is what turns the
     corpus-side read from a full column scan into skipped row groups."""
     ids = ids_df.select("vec_id").distinct()
+    ts = _tombstones(spark, store)  # an updated id has a DEAD twin here
     head = ids.limit(max_pushdown + 1).collect()
     if len(head) <= max_pushdown:
         vals = sorted(int(r["vec_id"]) for r in head)
         if not vals:
             return spark.createDataFrame([], "vec_id long, embedding array<double>")
         _ensure_in_filter_threshold(spark, len(vals) + 1)
-        return (
-            store.read(spark, "ivf_cells")
-            .where(F.col("vec_id").isin(vals))
-            .select("vec_id", "embedding")
-        )
+        return _filter_dead(
+            store.read(spark, "ivf_cells").where(F.col("vec_id").isin(vals)),
+            ts,
+        ).select("vec_id", "embedding")
     # fallback: collect the BARE ids (longs — small even at 10^6
     # candidates) into a local relation, so the scan-side probe does not
     # re-execute the candidate plan a THIRD time inside the join
     local_ids = spark.createDataFrame(
         [(int(r["vec_id"]),) for r in ids.collect()], "vec_id long"
     )
-    return (
-        store.read(spark, "ivf_cells")
-        .join(F.broadcast(local_ids), "vec_id")
-        .select("vec_id", "embedding")
-    )
+    return _filter_dead(
+        store.read(spark, "ivf_cells").join(F.broadcast(local_ids), "vec_id"),
+        ts,
+    ).select("vec_id", "embedding")
 
 
 def _pq_probe_topk(
@@ -1222,7 +1499,10 @@ def ivf_topk_stored(
             [], "query_id long, rank int, vec_id long, cosine double"
         )
     q_local = spark.createDataFrame(assign_rows, q_assign.schema)
-    cells = store.read(spark, "ivf_cells").where(F.col("cell_id").isin(probed))
+    cells = _filter_dead(
+        store.read(spark, "ivf_cells").where(F.col("cell_id").isin(probed)),
+        _tombstones(spark, store),
+    )
     if where is not None:
         cells = cells.where(where)
     if rerank is not None and meta.get("pq"):

@@ -38,6 +38,25 @@ def _sign(col) -> F.Column:
     ).otherwise(F.lit(-1.0))
 
 
+def hash_embed_py(text: str, dim: int = 64) -> list[float]:
+    """Pure-Python twin of hash_embed for ONE text — the query-side encode
+    of the zero-Spark serving paths (HybridReader). Same md5 hex-substring
+    hashes, same space-split/empty-drop tokenization, same tf-weighted
+    ±1 accumulation, so the embedding is bit-identical to the Spark column
+    (doubles built from small-int sums — no float-order hazard). Pinned by
+    test_fusion parity."""
+    import hashlib
+
+    vec = [0.0] * dim
+    for tok in text.split(" "):
+        if not tok:
+            continue
+        h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+        idx = int(h[:15], 16) % dim
+        vec[idx] += 1.0 if int(h[16], 16) % 2 == 0 else -1.0
+    return vec
+
+
 def hash_embed(
     df: DataFrame,
     id_col: str,

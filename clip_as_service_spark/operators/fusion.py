@@ -78,6 +78,88 @@ def rrf_fuse(
     )
 
 
+class HybridReader:
+    """Zero-Spark interactive hybrid search — RRF over the two resident
+    readers (wand.IndexReader lexical arm, ann_index.AnnReader semantic
+    arm), completing the serving story whose batch twin is
+    hybrid_search_stored. Reference analog: the gateway merges
+    multi-executor results per request (retriever.md:202-225); here the
+    per-request merge is this fusion.
+
+    Query flow per call: tokenize+WAND/TAAT over the block index (pruned
+    pyarrow reads), hash-embed the text in pure Python (bit-identical to
+    the Spark encode verb), probe the persisted ANN tables (pruned pyarrow
+    reads), fuse ranks — no Spark jobs anywhere. Parity with
+    hybrid_search_stored on the same indexes is test-pinned.
+
+    Snapshot semantics follow the underlying readers: appends/deletes made
+    after construction need ``refresh()``."""
+
+    def __init__(self, text_index_dir: str, ann_index_dir: str):
+        from .ann_index import AnnReader
+        from .wand import IndexReader
+
+        self.lex = IndexReader(None, text_index_dir, engine="pyarrow")
+        self.ann = AnnReader(ann_index_dir)
+        self.dim = int(self.ann.meta["dim"])
+
+    def refresh(self) -> None:
+        self.ann.refresh()
+
+    def search(
+        self,
+        text: str,
+        k: int = 10,
+        pool: int = 20,
+        rrf_k: int = 60,
+        ann_method: str = "rh",
+        nprobe: int = 2,
+        rerank: int | None = None,
+        round_dp: int = 9,
+    ) -> list[tuple]:
+        """→ [(rank, doc_id, rrf, rank_bm25, rank_cos)] — the same row
+        shape rrf_fuse emits (minus query_id; one query per call). A
+        zero-norm query embedding (no tokens survive hashing) drops the
+        semantic arm, exactly like hybrid_search_stored's qvec filter."""
+        import numpy as np
+
+        from .ann_index import _round_half_up
+        from .encode import hash_embed_py
+
+        lex_rank = {
+            int(doc_id): int(rank)
+            for rank, doc_id, _score in self.lex.search(text, k=pool)
+        }
+        qvec = hash_embed_py(text, dim=self.dim)
+        sem_rank: dict[int, int] = {}
+        if any(x != 0 for x in qvec):
+            if ann_method == "ivf":
+                hits = self.ann.search_ivf(
+                    qvec, k=pool, nprobe=nprobe, rerank=rerank
+                )
+            else:
+                hits = self.ann.search(qvec, k=pool, rerank=rerank)
+            sem_rank = {int(vid): int(rank) for rank, vid, _cos in hits}
+        fused = []
+        for doc_id in set(lex_rank) | set(sem_rank):
+            rrf = 0.0
+            if doc_id in lex_rank:
+                rrf += 1.0 / (rrf_k + lex_rank[doc_id])
+            if doc_id in sem_rank:
+                rrf += 1.0 / (rrf_k + sem_rank[doc_id])
+            # same decimal HALF_UP rounding as rrf_fuse's F.round — a tie
+            # at the page boundary must break identically in both engines
+            rrf = float(_round_half_up(np.float64(rrf), round_dp))
+            fused.append(
+                (doc_id, rrf, lex_rank.get(doc_id, 0), sem_rank.get(doc_id, 0))
+            )
+        fused.sort(key=lambda t: (-t[1], t[0]))
+        return [
+            (rank + 1, doc_id, rrf, rb, rc)
+            for rank, (doc_id, rrf, rb, rc) in enumerate(fused[:k])
+        ]
+
+
 def hybrid_search_stored(
     spark,
     text_index_dir: str,

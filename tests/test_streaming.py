@@ -501,3 +501,70 @@ def test_embeddings_stream_ingest_converges(spark, tmp_path):
     assert n2 == later.count() - half_new.count()
     got2 = ann_index.rh_topk_stored(spark, idx2, queries, k=10)
     assert rows(got2) == rows(want)
+
+
+def test_stream_ingest_with_deletes_converges(spark, tmp_path):
+    """Delete-during-ingest ordering (VERDICT r05 #7): tombstones written
+    between folds must (a) hide streamed AND batch-built ids from probes,
+    (b) NOT be resurrected by an idempotent re-fold while their physical
+    rows exist, (c) compact down to exactly the survivor set — and the
+    documented resurrection hazard (a re-fold AFTER compact re-ingests a
+    deleted id that still sits in staging, because both its physical rows
+    and its tombstone are gone) is pinned as stated, with re-delete +
+    re-compact converging again."""
+    from clip_as_service_spark.operators import ann_index, similarity as sim
+    from clip_as_service_spark.sources.tables import IndexStorage
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = emb.select("vec_id", F.transform(
+        "embedding", lambda x: x.cast("double")).alias("embedding"))
+    first = emb.filter(F.col("vec_id") % 3 == 0)
+    later = emb.filter(F.col("vec_id") % 3 != 0)
+
+    idx = str(tmp_path / "ann_idx")
+    ann_index.build_ann_index(
+        spark, first, idx, dim=64, rh_n_bits=6, rh_n_tables=4,
+        ivf_k=8, ivf_n_iter=2,
+    )
+    in_dir, staging, cp = (str(tmp_path / d) for d in ("in", "staging", "cp"))
+    later.coalesce(1).write.mode("append").parquet(in_dir)
+    incremental.start_embeddings_stream(
+        spark, in_dir, staging, cp
+    ).awaitTermination(120)
+    assert incremental.ingest_staged_vectors(spark, staging, idx) == later.count()
+
+    victims = [0, 1, 3]  # 0,3 batch-built (÷3); 1 streamed
+    ann_index.delete_ann_vectors(spark, idx, victims)
+    # (b) tombstoned ids do NOT resurrect through a re-fold: their
+    # physical rows still exist, so the idempotence anti-join skips them
+    assert incremental.ingest_staged_vectors(spark, staging, idx) == 0
+
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    survivors = emb.filter(~F.col("vec_id").isin(victims))
+    rows = lambda df: sorted(
+        (r["query_id"], r["rank"], r["vec_id"], round(r["cosine"], 9))
+        for r in df.collect()
+    )
+    want = rows(sim.rh_bucketed_topk(
+        survivors, queries, k=10, n_bits=6, dim=64, n_tables=4
+    ))
+    assert rows(ann_index.rh_topk_stored(spark, idx, queries, k=10)) == want
+
+    # (c) compact physically converges to the survivor set
+    ann_index.compact_ann_index(spark, idx)
+    store = IndexStorage(idx)
+    assert store.read(spark, "ivf_cells").count() == survivors.count()
+    assert rows(ann_index.rh_topk_stored(spark, idx, queries, k=10)) == want
+
+    # the documented post-compact hazard: staging still holds the deleted
+    # streamed id (1), so a re-fold re-ingests exactly it — not the
+    # batch-built victims (0,3 never entered staging)
+    assert incremental.ingest_staged_vectors(spark, staging, idx) == 1
+    resurrected = rows(ann_index.rh_topk_stored(spark, idx, queries, k=10))
+    assert any(vid == 1 for (_, _, vid, _) in resurrected)
+    # re-delete + compact converges back to the survivor set
+    ann_index.delete_ann_vectors(spark, idx, [1])
+    ann_index.compact_ann_index(spark, idx)
+    assert rows(ann_index.rh_topk_stored(spark, idx, queries, k=10)) == want
