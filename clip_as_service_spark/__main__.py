@@ -184,10 +184,6 @@ def cmd_ann_build(args) -> int:
 
 
 def cmd_hybrid_search(args) -> int:
-    spark = _spark(args)
-    spark.sparkContext.setLogLevel("WARN")
-    from .operators.fusion import hybrid_search_stored
-
     queries: list[tuple[int, str]] = []
     if args.query:
         queries.append((0, args.query))
@@ -199,6 +195,26 @@ def cmd_hybrid_search(args) -> int:
     if not queries:
         print("no query given (use --query or --queries-tsv)", file=sys.stderr)
         return 2
+    if args.interactive:
+        # zero-Spark serving path: resident readers + python RRF — no JVM
+        # at all (parity with the stored path is test-pinned)
+        from .operators.fusion import HybridReader
+
+        reader = HybridReader(args.text_index, args.ann_index)
+        for qid, text in queries:
+            for rank, doc_id, rrf, rb, rc in reader.search(
+                text, k=args.k, pool=args.pool, ann_method=args.ann_method,
+                nprobe=args.nprobe, rerank=args.rerank,
+            ):
+                print(json.dumps({
+                    "query_id": qid, "rank": rank, "doc_id": doc_id,
+                    "rrf": rrf, "rank_bm25": rb, "rank_cos": rc,
+                }))
+        return 0
+    spark = _spark(args)
+    spark.sparkContext.setLogLevel("WARN")
+    from .operators.fusion import hybrid_search_stored
+
     qdf = spark.createDataFrame(queries, "query_id int, text string")
     out = hybrid_search_stored(
         spark, args.text_index, args.ann_index, qdf,
@@ -400,6 +416,11 @@ def main(argv: list[str] | None = None) -> int:
     hy.add_argument("--ann-index", required=True)
     hy.add_argument("--query")
     hy.add_argument("--queries-tsv")
+    hy.add_argument(
+        "--interactive", action="store_true",
+        help="serve through the zero-Spark HybridReader (resident "
+        "IndexReader + AnnReader, python RRF) instead of Spark jobs",
+    )
     hy.add_argument("-k", type=int, default=10)
     hy.add_argument("--pool", type=int, default=20)
     hy.add_argument("--ann-method", default="rh", choices=["rh", "ivf"])

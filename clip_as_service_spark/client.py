@@ -85,6 +85,25 @@ class CasSparkClient:
             id_col="id", vec_col="embedding",
         )
 
+    def index_delete(self, ids) -> int:
+        """Delete vectors by id — the reference's `/delete` endpoint
+        (retriever.md:203-204,225). Merge-on-read tombstones: probes hide
+        the ids immediately; bytes reclaim at the next ann-compact.
+        Returns the number of tombstones written."""
+        from .operators.ann_index import delete_ann_vectors
+
+        return delete_ann_vectors(self.spark, f"{self.workspace}/ann", ids)
+
+    def index_update(self, embeddings: DataFrame) -> None:
+        """Upsert re-encoded vectors — the reference's `/update` endpoint:
+        delete + append in one call; probes serve exactly the new vector."""
+        from .operators.ann_index import update_ann_vectors
+
+        update_ann_vectors(
+            self.spark, f"{self.workspace}/ann", embeddings,
+            id_col="id", vec_col="embedding",
+        )
+
     # -- search -------------------------------------------------------------
     def search(
         self, texts, k: int = 10, method: str = "rh", where=None,
@@ -150,7 +169,7 @@ class CasSparkClient:
 
         store = IndexStorage(f"{self.workspace}/ann")
         out = {"meta": store.read_meta()}
-        for t in ("rh_buckets", "ivf_centroids", "ivf_cells"):
+        for t in ("rh_buckets", "ivf_centroids", "ivf_cells", "deleted_ids"):
             if store.exists(t):
                 out[t] = {"rows": store.read(self.spark, t).count()}
         return out

@@ -248,6 +248,27 @@ def test_delete_on_id_only_and_pq_payloads(
         assert got == _all_paths(spark, fresh, queries), name
 
 
+def test_tombstone_filter_is_broadcast_hash_anti_join(
+    spark, emb, queries, quantizer, tmp_path
+):
+    """Plan pin: the liveness filter must stay a BroadcastHashJoin
+    (LeftAnti, vec_id equi-key, gen inequality as the riding condition)
+    under the pruned scan — a fall to BroadcastNestedLoopJoin would make
+    every probe O(candidates × tombstones)."""
+    idx = str(tmp_path / "idx")
+    _build(spark, emb, idx, quantizer)
+    ann_index.delete_ann_vectors(spark, idx, [0, 1])
+    out = ann_index.rh_topk_stored(spark, idx, queries, k=K)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(
+        "LeftAnti" in line and "BroadcastHashJoin" in line
+        for line in plan.splitlines()
+    )
+    # the bucket pushdown must survive the added join
+    assert "PushedFilters: [Or(In(bucket" in plan or "In(bucket" in plan
+
+
 def test_delete_requires_gen_support(spark, emb, quantizer, tmp_path):
     import json
     import os

@@ -239,13 +239,15 @@ def test_ann_reader_interactive_matches_stored_paths(spark, emb, queries, tmp_pa
 
 
 def test_append_rejects_colliding_ids(spark, emb, ann_dir, tmp_path):
-    """Appending vectors whose ids already exist must raise — query-path
-    dedup would otherwise pick an arbitrary one of two different vectors."""
+    """Appending vectors whose ids are LIVE in the index must raise —
+    query-path dedup would otherwise pick an arbitrary one of two
+    different vectors. (A tombstoned id may be re-appended: that is
+    update_ann_vectors — tests/test_ann_delete.py.)"""
     import shutil
 
     out = str(tmp_path / "ann_clash")
     shutil.copytree(ann_dir, out)
-    with pytest.raises(ValueError, match="already\\s+exists in the index"):
+    with pytest.raises(ValueError, match="is live\\s+in the index"):
         ann_index.append_ann_vectors(spark, out, emb.limit(3))
 
 

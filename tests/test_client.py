@@ -76,3 +76,23 @@ def test_reader_interactive(client):
 def test_search_unknown_method_raises(client):
     with pytest.raises(ValueError, match="unknown search method"):
         client.search(["x"], method="hnsw")
+
+
+def test_index_delete_and_update(client):
+    """/delete and /update through the facade (runs last — mutates the
+    module-scoped workspace like test_index_append_then_search does)."""
+    extra = ["completely novel appended document about xylophones"]
+    # delete the id appended earlier: its self-query must stop finding it
+    assert client.index_delete([100]) == 1
+    got = client.search(extra, k=3).collect()
+    assert all(r["vec_id"] != 100 for r in got)
+    # update doc 0's vector to the xylophone text: the xylophone query's
+    # new self-hit is id 0 at cosine 1
+    client.index_update(client.encode(extra, id_offset=0))
+    got = client.search(extra, k=1).collect()
+    assert [(r["rank"], r["vec_id"]) for r in got] == [(1, 0)]
+    assert got[0]["cosine"] == pytest.approx(1.0, rel=1e-9)
+    # the reader sees the same state after refresh-by-construction
+    emb = client.encode(extra).collect()[0]["embedding"]
+    r = client.reader().search(emb, k=1)
+    assert r and r[0][1] == 0

@@ -189,3 +189,38 @@ def test_hybrid_reader_parity_with_stored_path(spark, hybrid_setup):
         ]
         assert got == sorted(want.get(q["query_id"], [])), q["text"]
     assert any(want.values())
+
+
+def test_hybrid_search_cli_interactive(spark, hybrid_setup, capsys):
+    """`hybrid-search --interactive` serves through HybridReader (no Spark
+    session construction) and emits the same row shape as the Spark path."""
+    import json as _json
+
+    from clip_as_service_spark.__main__ import main
+
+    text_idx, ann_idx = hybrid_setup
+    q = fixtures.make_queries()[0]
+    rc = main([
+        "hybrid-search", "--text-index", text_idx, "--ann-index", ann_idx,
+        "--query", q["text"], "-k", str(K), "--pool", str(POOL),
+        "--interactive",
+    ])
+    assert rc == 0
+    rows = [
+        _json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+        if line.startswith("{")
+    ]
+    assert rows and [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    want = {
+        int(r["doc_id"]): (r["rank"], round(r["rrf"], 9))
+        for r in fusion.hybrid_search_stored(
+            spark, text_idx, ann_idx,
+            spark.createDataFrame(
+                [(0, q["text"])], "query_id int, text string"
+            ),
+            k=K, pool=POOL,
+        ).collect()
+    }
+    got = {r["doc_id"]: (r["rank"], round(r["rrf"], 9)) for r in rows}
+    assert got == want
