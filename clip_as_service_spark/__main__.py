@@ -236,6 +236,36 @@ def cmd_ann_ingest(args) -> int:
     return 0
 
 
+def cmd_ann_stats(args) -> int:
+    """Workspace observability: per-table rows + bytes, live/dead split
+    when tombstones exist, and the persisted build config — the ops view
+    a refresh pipeline checks before deciding to ann-compact."""
+    spark = _spark(args)
+    spark.sparkContext.setLogLevel("WARN")
+    from pyspark.sql import functions as F
+
+    from .operators.ann_index import _filter_dead, _tombstones
+    from .sources.tables import IndexStorage
+
+    store = IndexStorage(args.index)
+    out = {"meta": store.read_meta()}
+    for t in ("rh_buckets", "ivf_centroids", "ivf_cells", "deleted_ids"):
+        if store.exists(t):
+            out[t] = {
+                "rows": store.read(spark, t).count(),
+                "bytes": store.table_bytes(t),
+            }
+    ts = _tombstones(spark, store)
+    if ts is not None:
+        cells = store.read(spark, "ivf_cells")
+        live = _filter_dead(cells.select("vec_id", "gen"), ts).count()
+        out["live_vectors"] = live
+        out["dead_rows_pending_compact"] = out["ivf_cells"]["rows"] - live
+        out["tombstoned_ids"] = ts.count()
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_ann_delete(args) -> int:
     spark = _spark(args)
     spark.sparkContext.setLogLevel("WARN")
@@ -385,6 +415,14 @@ def main(argv: list[str] | None = None) -> int:
     ai.add_argument("--staging", required=True)
     ai.add_argument("--index", required=True)
     ai.set_defaults(fn=cmd_ann_ingest)
+
+    ast = sub.add_parser(
+        "ann-stats",
+        help="ANN workspace stats: table rows/bytes, live vs tombstoned, "
+        "persisted config",
+    )
+    ast.add_argument("--index", required=True)
+    ast.set_defaults(fn=cmd_ann_stats)
 
     ad = sub.add_parser(
         "ann-delete",

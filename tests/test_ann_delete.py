@@ -283,6 +283,38 @@ def test_delete_requires_gen_support(spark, emb, quantizer, tmp_path):
         ann_index.delete_ann_vectors(spark, idx, [0])
 
 
+def test_cli_delete_update_stats_roundtrip(
+    spark, emb, queries, quantizer, tmp_path, capsys
+):
+    """ann-delete / ann-update / ann-stats through the CLI surface: the
+    stats view must show the tombstone bookkeeping a refresh pipeline
+    reads before deciding to compact."""
+    import json
+
+    from clip_as_service_spark.__main__ import main
+
+    idx = str(tmp_path / "idx")
+    _build(spark, emb, idx, quantizer)
+    assert main(["ann-delete", "--index", idx, "--ids", "0,1"]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1]) == {
+        "deleted": 2
+    }
+    upd = str(tmp_path / "upd.parquet")
+    emb.filter(F.col("vec_id") == 2).select(
+        F.lit(0).cast("long").alias("vec_id"), "embedding"
+    ).write.parquet(upd)
+    assert main(["ann-update", "--index", idx, "--input", upd]) == 0
+    capsys.readouterr()
+    assert main(["ann-stats", "--index", idx]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n = emb.count()
+    # live = n - 2 deleted + 1 re-added (id 0 updated, id 1 still dead)
+    assert stats["live_vectors"] == n - 1
+    assert stats["ivf_cells"]["rows"] == n + 1  # dead twin of 0 + new row
+    assert stats["dead_rows_pending_compact"] == 2
+    assert stats["tombstoned_ids"] == 2
+
+
 def test_update_refuses_duplicate_batch_before_tombstoning(
     spark, emb, quantizer, tmp_path
 ):
