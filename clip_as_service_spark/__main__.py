@@ -236,6 +236,36 @@ def cmd_ann_ingest(args) -> int:
     return 0
 
 
+def cmd_delete_docs(args) -> int:
+    spark = _spark(args)
+    spark.sparkContext.setLogLevel("WARN")
+    from .operators.index_build import delete_docs, delete_urls
+
+    n = 0
+    if args.ids:
+        n += delete_docs(
+            spark, args.index,
+            [int(v) for v in args.ids.split(",") if v.strip() != ""],
+        )
+    if args.urls:
+        n += delete_urls(
+            spark, args.index,
+            [u for u in args.urls.split(",") if u.strip() != ""],
+        )
+    print(json.dumps({"deleted": n}))
+    return 0
+
+
+def cmd_purge(args) -> int:
+    spark = _spark(args)
+    spark.sparkContext.setLogLevel("WARN")
+    from .operators.index_build import purge_deleted_docs
+
+    store = purge_deleted_docs(spark, args.index, args.out)
+    print(json.dumps(store.read_meta()))
+    return 0
+
+
 def cmd_ann_stats(args) -> int:
     """Workspace observability: per-table rows + bytes, live/dead split
     when tombstones exist, and the persisted build config — the ops view
@@ -415,6 +445,29 @@ def main(argv: list[str] | None = None) -> int:
     ai.add_argument("--staging", required=True)
     ai.add_argument("--index", required=True)
     ai.set_defaults(fn=cmd_ann_ingest)
+
+    dd = sub.add_parser(
+        "delete-docs",
+        help="tombstone documents in the block index (merge-on-read: "
+        "hidden from search/phrase immediately, stats stay stale until "
+        "purge)",
+    )
+    dd.add_argument("--index", required=True)
+    dd.add_argument("--ids", help="comma-separated doc_ids")
+    dd.add_argument(
+        "--urls",
+        help="comma-separated urls (doc_id_method='hash' indexes only)",
+    )
+    dd.set_defaults(fn=cmd_delete_docs)
+
+    pg = sub.add_parser(
+        "purge",
+        help="rebuild the index without tombstoned docs (stats/idf "
+        "refresh; out-of-place like compact)",
+    )
+    pg.add_argument("--index", required=True)
+    pg.add_argument("--out", required=True)
+    pg.set_defaults(fn=cmd_purge)
 
     ast = sub.add_parser(
         "ann-stats",

@@ -561,6 +561,121 @@ def merge_indexes(
     return _resume_from_postings(spark, store)
 
 
+def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> int:
+    """DELETE documents from a block index — merge-on-read tombstones,
+    the postings-side twin of ann_index.delete_ann_vectors (and Lucene's
+    live-docs posture). One (doc_id) row per id is appended to
+    ``deleted_docs``; every query path (search_topk WAND/TAAT/exploded,
+    IndexReader.search/phrase, phrase_search_indexed) masks tombstoned
+    docs BEFORE ranking — snippets inherit via the masked results page.
+    Nothing is rewritten.
+
+    Stats semantics, stated: idf/avgdl/N stay those of the FULL corpus
+    until purge_deleted_docs — surviving docs keep their exact pre-delete
+    scores (test-pinned), exactly like Lucene between delete and merge.
+    No generation column is needed (unlike the ANN side): the block index
+    has no per-doc re-add path — re-crawls enter through the streaming
+    side and a compact/purge, which clears tombstones.
+
+    ``doc_ids``: iterable of ints or a DataFrame with a doc_id column.
+    Idempotent; absent ids are no-op tombstones. Returns tombstones
+    written."""
+    store = IndexStorage(index_dir)
+    if isinstance(doc_ids, DataFrame):
+        tomb = doc_ids.select(
+            F.col("doc_id").cast("long").alias("doc_id")
+        ).dropDuplicates()
+        n = tomb.count()
+    else:
+        vals = sorted({int(i) for i in doc_ids})
+        if not vals:
+            return 0
+        n = len(vals)
+        tomb = spark.createDataFrame([(v,) for v in vals], "doc_id long")
+    store.append(tomb, "deleted_docs")
+    return n
+
+
+def delete_urls(spark: SparkSession, index_dir: str, urls) -> int:
+    """Delete by URL — maps urls to doc_ids under the index's own id
+    scheme and tombstones them. Only content-derived ids
+    (doc_id_method='hash', doc_id = xxhash64(url)) support this; dense
+    ids carry no url linkage at rest."""
+    store = IndexStorage(index_dir)
+    meta = store.read_meta()
+    if meta.get("doc_id_method") != "hash":
+        raise ValueError(
+            "delete_urls needs doc_id_method='hash' (content-derived ids); "
+            f"this index uses {meta.get('doc_id_method')!r} — delete by "
+            "doc_id instead."
+        )
+    if isinstance(urls, DataFrame):
+        ids = urls.select(F.xxhash64("url").alias("doc_id"))
+    else:
+        urls = list(urls)
+        if not urls:
+            return 0
+        ids = spark.createDataFrame(
+            [(u,) for u in urls], "url string"
+        ).select(F.xxhash64("url").alias("doc_id"))
+    return delete_docs(spark, index_dir, ids)
+
+
+def purge_deleted_docs(
+    spark: SparkSession, index_dir: str, out_dir: str
+) -> IndexStorage:
+    """Physically rebuild an index WITHOUT its tombstoned docs — the merge
+    step of the merge-on-read delete story. The stage-1 postings
+    checkpoint (and the positional table, if built) is anti-joined against
+    deleted_docs and written into ``out_dir``; stages 2-4 re-derive
+    corpus stats, idf, and blocks over the survivors — so N/avgdl/df
+    REFRESH here (scores shift to their true post-delete values), the
+    tokenize stage never re-runs, and the result is bit-identical to a
+    fresh build over the surviving pages (test-pinned). The built-in
+    positions↔stats cross-check validates the purge for free.
+
+    Same out-of-place posture as compact_streamed_index: the source index
+    keeps serving (with tombstone masking) until the caller swaps dirs."""
+    src = IndexStorage(index_dir)
+    meta = src.read_meta()
+    if not src.exists("deleted_docs"):
+        raise ValueError(f"index at {index_dir} has no deleted_docs table")
+    store = IndexStorage(out_dir)
+    if not store.has_meta():
+        store.write_meta(
+            {
+                "n_shards": meta["n_shards"],
+                "block_size": meta.get("block_size", BLOCK_SIZE),
+                "k1": meta.get("k1", K1),
+                "b": meta.get("b", B),
+                "salt_cutoff": meta["salt_cutoff"],
+                "target_sublist": meta["target_sublist"],
+                "doc_id_method": meta["doc_id_method"],
+                "term_mode": meta.get("term_mode", "word"),
+                "bpe_path": meta.get("bpe_path"),
+                "positions": bool(meta.get("positions")),
+                "purged_from": src.root,
+                "version": 2,
+            }
+        )
+    tomb = src.read(spark, "deleted_docs").select("doc_id").distinct()
+    if not store.exists("postings"):
+        t0 = time.perf_counter()
+        live = src.read(spark, "postings").join(
+            F.broadcast(tomb), "doc_id", "left_anti"
+        )
+        store.write(live, "postings")
+        _log(spark, store, "postings", t0)
+    if meta.get("positions") and not store.exists("positions"):
+        t0 = time.perf_counter()
+        live_pos = src.read(spark, "positions").join(
+            F.broadcast(tomb), "doc_id", "left_anti"
+        )
+        store.write(live_pos, "positions", partition_by=["shard"])
+        _log(spark, store, "positions", t0)
+    return _resume_from_postings(spark, store)
+
+
 def _resume_from_postings(spark: SparkSession, store: IndexStorage) -> IndexStorage:
     """Run stages 1b-4 for an index whose postings checkpoint exists."""
 

@@ -109,6 +109,16 @@ def phrase_search_indexed(
         .where(F.col("shard").isin(shards) & F.col("term").isin(sorted(set(terms))))
         .select(F.col("doc_id").alias("id"), "pos", "term")
     )
+    if store.exists("deleted_docs"):
+        # merge-on-read doc deletes (index_build.delete_docs): tombstoned
+        # docs drop out of phrase results the same way they drop out of
+        # BM25 ranking; snippets inherit via the masked results page
+        tomb = (
+            store.read(spark, "deleted_docs")
+            .select(F.col("doc_id").alias("id"))
+            .distinct()
+        )
+        pos = pos.join(F.broadcast(tomb), "id", "left_anti")
     out = phrase_positions(pos, terms, term_df=term_df)
     # deterministic truncation (same order as IndexReader.phrase) — a bare
     # limit on an unordered plan returns an arbitrary, plan-dependent subset

@@ -125,7 +125,21 @@ class _Cursor:
         return True
 
 
-def wand_topk(cursors: list[_Cursor], k: int) -> list[tuple[int, int, float]]:
+def _mask_deleted(docs: np.ndarray, w: np.ndarray, deleted):
+    """Drop tombstoned doc_ids from a decoded (docs, weights) pair —
+    the postings-side merge-on-read filter (delete_docs). `deleted` is a
+    sorted int64 ndarray or None; None/empty is the common zero-cost case.
+    Must run BEFORE any top-k threshold is derived (a deleted doc setting
+    the kth score would prune live docs)."""
+    if deleted is None or len(deleted) == 0 or len(docs) == 0:
+        return docs, w
+    m = ~np.isin(docs, deleted)
+    return docs[m], w[m]
+
+
+def wand_topk(
+    cursors: list[_Cursor], k: int, deleted=None
+) -> list[tuple[int, int, float]]:
     """exact top-k [(rank, doc_id, score)] over posting cursors —
     Block-Max WAND (Ding & Suel, SIGIR 2011 — public algorithm):
 
@@ -135,7 +149,11 @@ def wand_topk(cursors: list[_Cursor], k: int) -> list[tuple[int, int, float]]:
        without decoding (the shallow advance that makes Zipf-head single-
        and two-term queries skip most of their posting lists);
     3. bounds are inflated by 1+1e-9 so float rounding can never prune a
-       true top-k doc → EXACT."""
+       true top-k doc → EXACT.
+
+    ``deleted``: optional set of tombstoned doc_ids (delete_docs) — a
+    deleted pivot is advanced past without scoring, so it can neither
+    appear in results nor raise θ and shadow a live doc."""
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
     alive = [c for c in cursors if not c.exhausted]
     while alive:
@@ -172,6 +190,14 @@ def wand_topk(cursors: list[_Cursor], k: int) -> list[tuple[int, int, float]]:
                 alive = [c for c in alive if not c.exhausted]
                 continue
         if alive[0].doc == pivot_doc:
+            if deleted is not None and pivot_doc in deleted:
+                # tombstoned: advance past without scoring (and without
+                # letting it into the heap where it would raise θ)
+                for c in alive:
+                    if not c.exhausted and c.doc == pivot_doc:
+                        c.advance()
+                alive = [c for c in alive if not c.exhausted]
+                continue
             parts = []
             for c in alive:
                 if c.doc != pivot_doc:
@@ -213,6 +239,7 @@ def taat_topk(
     bm25: tuple,
     n_docs: int | None = None,
     chunk_blocks: int = 4096,
+    deleted=None,
 ) -> list[tuple[int, int, float]]:
     """Vectorized exact term-at-a-time scorer.
 
@@ -240,7 +267,9 @@ def taat_topk(
     terms = sorted(by_term)
 
     if len(terms) == 1:
-        return _taat_single_term(by_term[terms[0]], k, bm25, chunk_blocks)
+        return _taat_single_term(
+            by_term[terms[0]], k, bm25, chunk_blocks, deleted=deleted
+        )
 
     decoded = []
     for term in terms:
@@ -249,18 +278,29 @@ def taat_topk(
         blks = by_term[term]
         docs, w = _decode_block_group(blks, bm25)
         decoded.append((term, docs, blks[0].idf * w))
-    return taat_topk_decoded(decoded, k, n_docs=n_docs)
+    return taat_topk_decoded(decoded, k, n_docs=n_docs, deleted=deleted)
 
 
 def taat_topk_decoded(
-    decoded: list, k: int, n_docs: int | None = None
+    decoded: list, k: int, n_docs: int | None = None, deleted=None
 ) -> list[tuple[int, int, float]]:
     """Exact top-k from pre-decoded per-term postings: `decoded` is
     [(term, docs, idf·w)] in ASCENDING-TERM order (the oracle's float64
     association). Split out so IndexReader can memoize decoded terms across
-    queries (head terms repeat; decode dominates warm latency)."""
+    queries (head terms repeat; decode dominates warm latency).
+
+    ``deleted`` (sorted int64 ndarray): tombstoned doc_ids masked out of
+    each term's postings BEFORE accumulation — the memoized decoded lists
+    stay unfiltered (delete-independent), the mask applies at use."""
     if not decoded:
         return []
+    if deleted is not None and len(deleted):
+        decoded = [
+            (t,) + _mask_deleted(d, w, deleted) for t, d, w in decoded
+        ]
+        decoded = [(t, d, w) for t, d, w in decoded if len(d)]
+        if not decoded:
+            return []
     if n_docs is not None:
         # dense-id mode: doc_id IS the array index — no unique/searchsorted.
         # BM25 partials are strictly > 0, so score 0 ⇔ no query term matched
@@ -281,8 +321,12 @@ def taat_topk_decoded(
     return _topk_from_arrays(universe, scores, k)
 
 
-def _taat_single_term(blks, k: int, bm25: tuple, chunk_blocks: int):
-    """Single-term exact top-k with block-max early stop (see taat_topk)."""
+def _taat_single_term(blks, k: int, bm25: tuple, chunk_blocks: int, deleted=None):
+    """Single-term exact top-k with block-max early stop (see taat_topk).
+
+    Tombstoned docs are masked PER CHUNK, before the kth-score threshold is
+    taken — a deleted doc holding the kth slot would inflate θ and stop the
+    decode while live docs that belong in the page are still undecoded."""
     blks = sorted(blks, key=lambda r: -r.max_w)
     idf = float(blks[0].idf)
     doc_parts: list[np.ndarray] = []
@@ -294,6 +338,7 @@ def _taat_single_term(blks, k: int, bm25: tuple, chunk_blocks: int):
         chunk = blks[i : i + chunk_blocks]
         i += len(chunk)
         docs, w = _decode_block_group(chunk, bm25)
+        docs, w = _mask_deleted(docs, w, deleted)
         doc_parts.append(docs)
         score_parts.append(idf * w)
         n_seen += len(docs)
@@ -424,6 +469,26 @@ class IndexReader:
         else:
             self._ds = None
             self.blocks = self.store.read(spark, "blocks")
+        # merge-on-read doc deletes (delete_docs): tombstoned ids loaded
+        # once at construction (snapshot semantics like the caches — build
+        # a new reader after deletes); masked out of every scorer. The
+        # decoded/raw caches stay UNFILTERED (delete-independent), the
+        # mask applies at use.
+        self._deleted_arr = self._deleted_set = None
+        if self.store.exists("deleted_docs"):
+            import pyarrow.dataset as pads
+
+            ids = np.unique(
+                np.asarray(
+                    pads.dataset(
+                        self.store.path("deleted_docs"), format="parquet"
+                    ).to_table(columns=["doc_id"]).column("doc_id"),
+                    dtype=np.int64,
+                )
+            )
+            if len(ids):
+                self._deleted_arr = ids
+                self._deleted_set = set(int(i) for i in ids)
 
     # cache byte budgets (defaults sized for a long-lived service reader;
     # per-entry accounting uses the payload buffers, the dominant cost —
@@ -577,13 +642,20 @@ class IndexReader:
             if len(hit_terms) == 1 and hit_terms[0] not in self._decoded_cache:
                 # cold single-term: block-max early stop (partial decode —
                 # deliberately NOT cached: the memo stores only full lists)
-                out = taat_topk(rows, k, self._bm25, n_docs=n_docs)
+                out = taat_topk(
+                    rows, k, self._bm25, n_docs=n_docs,
+                    deleted=self._deleted_arr,
+                )
             else:
                 out = taat_topk_decoded(
-                    [self._decoded_term(t) for t in hit_terms], k, n_docs=n_docs
+                    [self._decoded_term(t) for t in hit_terms], k,
+                    n_docs=n_docs, deleted=self._deleted_arr,
                 )
         else:
-            out = wand_topk(_cursors_from_rows(rows, self._bm25), k)
+            out = wand_topk(
+                _cursors_from_rows(rows, self._bm25), k,
+                deleted=self._deleted_set,
+            )
         t_score = time.perf_counter()
         entry["score_ms"] = 1000 * (t_score - t_fetch)
         entry["total_ms"] = 1000 * (t_score - t0)
@@ -629,6 +701,11 @@ class IndexReader:
         term_arr = np.asarray(tbl.column("term"))
         doc_arr = np.asarray(tbl.column("doc_id"), dtype=np.int64)
         pos_arr = np.asarray(tbl.column("pos"), dtype=np.int64)
+        if self._deleted_arr is not None and len(doc_arr):
+            live = ~np.isin(doc_arr, self._deleted_arr)
+            term_arr, doc_arr, pos_arr = (
+                term_arr[live], doc_arr[live], pos_arr[live]
+            )
 
         def _keys(mask, shift: int) -> np.ndarray:
             # structured (doc, start) keys — doc_ids span the FULL signed
@@ -741,6 +818,23 @@ def search_topk(
     store = IndexStorage(index_dir)
     meta = store.read_meta()
     bm25 = (float(meta["avgdl"]), float(meta["k1"]), float(meta["b"]))
+    # merge-on-read doc deletes (delete_docs): tombstoned ids are dropped
+    # from every scorer BEFORE ranking. Collected once per call (the table
+    # is delete-sized) and broadcast to the WAND/TAAT closures; the
+    # exploded plan anti-joins distributed instead. Corpus stats stay
+    # STALE until purge_deleted_docs (Lucene's merge-on-read posture):
+    # surviving docs keep their exact pre-delete scores — pinned by test.
+    deleted_ids = deleted_bc = None
+    if store.exists("deleted_docs"):
+        deleted_ids = sorted(
+            int(r["doc_id"])
+            for r in store.read(spark, "deleted_docs")
+            .select("doc_id").distinct().collect()
+        )
+        if deleted_ids:
+            deleted_bc = spark.sparkContext.broadcast(deleted_ids)
+        else:
+            deleted_ids = None
     # query-terms table is tiny (Q·|q| rows): collect ONCE and rebuild as a
     # local DataFrame — no .cache() to leak, and the term list for shard
     # pruning falls out of the same pass
@@ -756,10 +850,10 @@ def search_topk(
 
     if mode == "wand":
         return joined.groupBy("query_id").applyInPandas(
-            _make_wand(k, bm25), schema=TOPK_SCHEMA
+            _make_wand(k, bm25, deleted_bc=deleted_bc), schema=TOPK_SCHEMA
         )
     if mode == "exploded":
-        return _search_exploded(joined, k, bm25)
+        return _search_exploded(joined, k, bm25, deleted_ids=deleted_ids)
     if mode == "auto":
         if routing is None:
             # volume estimate: one tiny agg over (query_id, n) — parquet
@@ -789,7 +883,8 @@ def search_topk(
         if heavy:
             parts.append(
                 _search_exploded(
-                    joined.filter(F.col("query_id").isin(heavy)), k, bm25
+                    joined.filter(F.col("query_id").isin(heavy)), k, bm25,
+                    deleted_ids=deleted_ids,
                 )
             )
         light = sorted(q for q, m in routing.items() if m == "wand")
@@ -797,7 +892,10 @@ def search_topk(
             parts.append(
                 joined.filter(F.col("query_id").isin(light))
                 .groupBy("query_id")
-                .applyInPandas(_make_wand(k, bm25), schema=TOPK_SCHEMA)
+                .applyInPandas(
+                    _make_wand(k, bm25, deleted_bc=deleted_bc),
+                    schema=TOPK_SCHEMA,
+                )
             )
         if not parts:
             return spark.createDataFrame([], TOPK_SCHEMA)
@@ -843,7 +941,9 @@ def query_routing(
 _BATCH_TAAT_MAX_POSTINGS = 250_000_000  # same memory bound as IndexReader
 
 
-def _make_wand(k: int, bm25: tuple, taat_max: int | None = None):
+def _make_wand(
+    k: int, bm25: tuple, taat_max: int | None = None, deleted_bc=None
+):
     # the crossover is read HERE (driver side) and captured by the closure —
     # executor workers re-import the module, so a module global read inside
     # the UDF would ignore driver-side overrides
@@ -855,15 +955,24 @@ def _make_wand(k: int, bm25: tuple, taat_max: int | None = None):
             return pd.DataFrame(
                 {"query_id": [], "rank": [], "doc_id": [], "score": []}
             )
+        # tombstoned doc_ids ride a Spark broadcast (shipped once per
+        # executor, not per task); sorted ndarray for the TAAT mask, set
+        # for WAND's per-pivot membership test
+        del_arr = del_set = None
+        if deleted_bc is not None:
+            del_arr = np.asarray(deleted_bc.value, dtype=np.int64)
+            del_set = set(deleted_bc.value)
         query_id = int(pdf["query_id"].iloc[0])
         rows = list(pdf.itertuples(index=False))
         # same crossover as the interactive reader: vectorized TAAT while
         # decoded lists fit (~16 B/posting), per-posting Python WAND only
         # beyond — measured 20-30× faster at tens of millions of postings
         if int(pdf["n"].sum()) <= taat_max:
-            result = taat_topk(rows, k, bm25)
+            result = taat_topk(rows, k, bm25, deleted=del_arr)
         else:
-            result = wand_topk(_cursors_from_rows(rows, bm25), k)
+            result = wand_topk(
+                _cursors_from_rows(rows, bm25), k, deleted=del_set
+            )
         return pd.DataFrame(
             {
                 "query_id": np.full(len(result), query_id, dtype=np.int64),
@@ -876,9 +985,14 @@ def _make_wand(k: int, bm25: tuple, taat_max: int | None = None):
     return _wand
 
 
-def _search_exploded(joined: DataFrame, k: int, bm25: tuple) -> DataFrame:
+def _search_exploded(
+    joined: DataFrame, k: int, bm25: tuple, deleted_ids: list[int] | None = None
+) -> DataFrame:
     """decode → (query_id, term, doc_id, partial) rows → ordered-fold sum →
-    window top-k. `joined` = candidate blocks × query terms."""
+    window top-k. `joined` = candidate blocks × query terms. Tombstoned
+    doc_ids (``deleted_ids``) are dropped from the partials with a
+    broadcast anti-join BEFORE the top-k window — staying distributed, no
+    per-task Python set."""
     avgdl, k1, b = bm25
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -915,6 +1029,11 @@ def _search_exploded(joined: DataFrame, k: int, bm25: tuple) -> DataFrame:
     partials = joined.mapInPandas(
         _decode, schema="query_id int, term string, doc_id long, partial double"
     )
+    if deleted_ids:
+        dele = joined.sparkSession.createDataFrame(
+            [(d,) for d in deleted_ids], "doc_id long"
+        )
+        partials = partials.join(F.broadcast(dele), "doc_id", "left_anti")
     scores = (
         partials.groupBy("query_id", "doc_id")
         .agg(F.collect_list(F.struct("term", "partial")).alias("parts"))
