@@ -612,6 +612,11 @@ def delete_ann_vectors(
             F.lit(g).cast("long").alias("gen"),
         ).dropDuplicates(["vec_id"])
         n = tomb.count()
+        if n == 0:
+            # an empty batch must not materialize a zero-row deleted_ids
+            # table — its mere existence makes every probe pay the
+            # anti-join and gen read until the next compact
+            return 0
     else:
         vals = sorted({int(i) for i in ids})
         n = len(vals)
@@ -636,9 +641,20 @@ def update_ann_vectors(
     are tombstoned at generation g (killing any existing physical rows),
     then the new rows are appended at g+1 — probes see exactly the new
     vector, compact physically reclaims the old one. Ids not previously
-    indexed are fine (their tombstone kills nothing)."""
-    # batch-dup check BEFORE the delete: append would raise on a dup batch
-    # AFTER the tombstones landed — ids deleted but never re-added
+    indexed are fine (their tombstone kills nothing).
+
+    Failure contract: the delete lands durably BEFORE the append, so a
+    failed/crashed append leaves the batch ids dark (tombstoned, not yet
+    re-added). The heal is RE-RUNNING THE SAME UPDATE: the rerun's fresh
+    tombstone generation kills any partially appended rows and the
+    append then completes — convergent from every crash point. The two
+    foreseeable batch rejections (duplicate ids, wrong dimension) are
+    checked here, before any tombstone is written."""
+    store = IndexStorage(index_dir)
+    _check_compact_marker(store)
+    dim = int(store.read_meta()["dim"])
+    # batch checks BEFORE the delete: append raising on a bad batch AFTER
+    # the tombstones landed would leave ids deleted but never re-added
     dup = (
         new_embeddings.groupBy(F.col(id_col))
         .count()
@@ -650,6 +666,19 @@ def update_ann_vectors(
         raise ValueError(
             f"update_ann_vectors: {id_col} {dup[0][0]} appears more than "
             "once in the batch — refusing before any tombstone is written."
+        )
+    bad = (
+        new_embeddings.filter(
+            F.col(vec_col).isNull() | (F.size(vec_col) != dim)
+        )
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"update_ann_vectors: {id_col} {bad[0][id_col]} has a vector "
+            f"that is not {dim}-dimensional — refusing before any "
+            "tombstone is written."
         )
     delete_ann_vectors(
         spark, index_dir, new_embeddings.select(F.col(id_col).alias("vec_id"))
@@ -1181,15 +1210,11 @@ class AnnReader:
         return self._rerank(fids, vecs, qvec, k)
 
 
-def _round_half_up(arr, dp: int):
-    """Replicate Spark F.round's decimal HALF_UP (half away from zero) on
-    an ndarray — numpy's np.round is half-to-even, which would resolve an
-    exact-half value (e.g. ±2.5e-9 at dp=9) to the OTHER neighbor and make
-    the reader probe different buckets/cells than the Spark paths."""
-    import numpy as np
-
-    scale = 10.0 ** dp
-    return np.sign(arr) * np.floor(np.abs(arr) * scale + 0.5) / scale
+# ONE HALF_UP kernel for every numpy path (reader probes here, build-time
+# assignment in similarity): two copies of this rounding would let a future
+# tweak silently desync build-time cell assignment from the probe paths —
+# the exact cross-path divergence the shared Lloyd kernel eliminates.
+_round_half_up = sim._round_half_up_np
 
 
 def _list_col_to_2d(col, dim: int):

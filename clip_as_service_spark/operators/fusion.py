@@ -104,6 +104,9 @@ class HybridReader:
         self.dim = int(self.ann.meta["dim"])
 
     def refresh(self) -> None:
+        """Pick up appends AND deletes on BOTH arms (block-index doc
+        tombstones + ANN vector tombstones) made after construction."""
+        self.lex.refresh()
         self.ann.refresh()
 
     def search(

@@ -213,11 +213,15 @@ def pq_encode(
 ) -> DataFrame:
     """→ (id_col, pq_code: array<smallint>) under the GIVEN (stored)
     codebooks — shared by build and append, like the IVF quantizer.
-    One zero-shuffle Arrow map (append_pq_codes); empty codebooks (an
-    empty-corpus training) yield the empty result the retired inner-join
-    formulation produced."""
+    One Arrow map (append_pq_codes) over the id-deduped input; empty
+    codebooks (an empty-corpus training) yield the empty result the
+    retired inner-join formulation produced. The dedup restores the
+    retired groupBy(id)'s collapse: callers join the codes back by id
+    (_rh_rows/_ivf_rows), and duplicate-id corpora (build performs no id
+    validation) would otherwise amplify n dup rows into n² joined rows."""
     return append_pq_codes(
-        embeddings.select(id_col, vec_col), codebooks, dim, m, vec_col=vec_col
+        embeddings.select(id_col, vec_col).dropDuplicates([id_col]),
+        codebooks, dim, m, vec_col=vec_col,
     ).select(id_col, "pq_code")
 
 

@@ -459,7 +459,20 @@ class IndexReader:
         self._decoded_cache: dict[str, tuple] = {}
         self._decoded_sizes: dict[str, int] = {}
         self._decoded_bytes = 0
-        if engine == "pyarrow":
+        self.refresh()
+
+    def refresh(self) -> None:
+        """Re-list the index files and reload doc tombstones — pick up
+        appended blocks and delete_docs() made after construction (the
+        snapshot posture of AnnReader.refresh). Clears both term caches:
+        their entries may describe superseded files."""
+        self._term_rows_cache.clear()
+        self._raw_sizes.clear()
+        self._raw_bytes = 0
+        self._decoded_cache.clear()
+        self._decoded_sizes.clear()
+        self._decoded_bytes = 0
+        if self.engine == "pyarrow":
             import pyarrow.dataset as pads
 
             self._ds = pads.dataset(
@@ -468,10 +481,9 @@ class IndexReader:
             self.blocks = None
         else:
             self._ds = None
-            self.blocks = self.store.read(spark, "blocks")
+            self.blocks = self.store.read(self.spark, "blocks")
         # merge-on-read doc deletes (delete_docs): tombstoned ids loaded
-        # once at construction (snapshot semantics like the caches — build
-        # a new reader after deletes); masked out of every scorer. The
+        # at construction/refresh; masked out of every scorer. The
         # decoded/raw caches stay UNFILTERED (delete-independent), the
         # mask applies at use.
         self._deleted_arr = self._deleted_set = None

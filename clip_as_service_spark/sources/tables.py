@@ -46,7 +46,15 @@ class IndexStorage:
         version of another (the hazard the _compact_pending marker fences).
         A leftover __old beside an intact final dir (crash after the second
         rename, before cleanup) is simply deleted. Idempotent, called from
-        path() so every access route heals first."""
+        path() so every access route heals first.
+
+        Concurrency: healing runs from READERS too, so it may race an
+        in-flight swap() or another reader's heal. Every action here is
+        guarded — a failed rename means the other party already moved the
+        directory (re-check and proceed), and swap() itself retries its
+        second rename if a reader rolled the old dir back into place in
+        the gap (the writer always wins eventually)."""
+        import contextlib
         import shutil
 
         final = f"{self.root}/{table}"
@@ -55,7 +63,8 @@ class IndexStorage:
             if os.path.exists(final):
                 shutil.rmtree(old, ignore_errors=True)
             else:
-                os.rename(old, final)
+                with contextlib.suppress(OSError):
+                    os.rename(old, final)
 
     def write(self, df: DataFrame, table: str, partition_by: list[str] | None = None):
         w = df.write.mode("overwrite")
@@ -106,9 +115,20 @@ class IndexStorage:
         old = final + "__old"
         shutil.rmtree(old, ignore_errors=True)
         tmp = f"{self.root}/{tmp_table}"
-        if os.path.exists(final):
-            os.rename(final, old)
-        os.rename(tmp, final)
+        # retry loop: a concurrent READER's _heal_swap may roll __old back
+        # into the final path in the gap between our two renames (its view
+        # at that instant is exactly a crashed swap). Re-moving it aside
+        # and retrying converges — the writer always wins, the reader only
+        # ever re-exposed the pre-swap table.
+        for attempt in range(5):
+            if os.path.exists(final):
+                os.rename(final, old)
+            try:
+                os.rename(tmp, final)
+                break
+            except OSError:
+                if attempt == 4:
+                    raise
         shutil.rmtree(old, ignore_errors=True)
 
     def replace(self, df: DataFrame, table: str, partition_by: list[str] | None = None):

@@ -315,9 +315,12 @@ def test_cli_delete_update_stats_roundtrip(
     assert stats["tombstoned_ids"] == 2
 
 
-def test_update_refuses_duplicate_batch_before_tombstoning(
+def test_update_refuses_bad_batches_before_tombstoning(
     spark, emb, quantizer, tmp_path
 ):
+    """Both foreseeable batch rejections (duplicate ids, wrong dimension)
+    must fire BEFORE any tombstone lands — a post-delete rejection would
+    leave the batch ids dark with no replacement rows."""
     idx = str(tmp_path / "idx")
     _build(spark, emb, idx, quantizer)
     dup = emb.filter(F.col("vec_id") == 0).unionByName(
@@ -325,5 +328,14 @@ def test_update_refuses_duplicate_batch_before_tombstoning(
     )
     with pytest.raises(ValueError, match="more than once"):
         ann_index.update_ann_vectors(spark, idx, dup)
+    short = emb.filter(F.col("vec_id") == 0).select(
+        "vec_id", F.slice("embedding", 1, 3).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="dimensional"):
+        ann_index.update_ann_vectors(spark, idx, short)
     # nothing was tombstoned — id 0 is still live
+    assert not IndexStorage(idx).exists("deleted_ids")
+    # an empty delete batch must not materialize a zero-row tombstone
+    # table (its existence alone taxes every probe until compact)
+    assert ann_index.delete_ann_vectors(spark, idx, emb.filter(F.lit(False)).select("vec_id")) == 0
     assert not IndexStorage(idx).exists("deleted_ids")

@@ -141,6 +141,29 @@ def test_single_term_early_stop_stays_exact_under_delete(
     assert got == {k: v for k, v in want.items() if v[0] <= 5}
 
 
+def test_reader_refresh_picks_up_deletes(spark, pages, built, queries):
+    """A held IndexReader must see delete_docs after refresh() — the
+    contract HybridReader.refresh relies on for its lexical arm."""
+    import shutil
+
+    idx = built + "_refresh"
+    shutil.copytree(built, idx)
+    reader = wand.IndexReader(None, idx)
+    q = queries.collect()[0]
+    before = reader.search(q["text"], k=K_ALL)
+    assert before
+    top = before[0][1]
+    index_build.delete_docs(spark, idx, [top])
+    # held handle: snapshot semantics — still serves the old view
+    assert reader.search(q["text"], k=K_ALL)[0][1] == top
+    reader.refresh()
+    after = reader.search(q["text"], k=K_ALL)
+    assert all(did != top for _r, did, _s in after)
+    # scores of survivors unchanged (stale-stats contract)
+    want = {d: s for _r, d, s in before if d != top}
+    assert {d: s for _r, d, s in after} == want
+
+
 def test_delete_urls_requires_hash_ids_and_maps(spark, pages, built):
     import shutil
 
