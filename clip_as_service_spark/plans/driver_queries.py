@@ -35,6 +35,19 @@ DOC_QUERIES: list[tuple[int, str]] = [
 
 STOPWORDS = ("a", "the")
 
+# The full distinct term set of DOC_QUERIES — a STATIC property of the query
+# workload (DOC_QUERIES is a module constant), used to push a semi-join-style
+# term filter below every shuffle of the BM25 family (guide §2.3/§3.2: drop
+# definitely-non-matching rows before the exchange). Results are unchanged:
+# only postings of query terms ever survive the qt join downstream.
+_QUERY_TERM_LIST: list[str] = sorted(
+    {t for _, q in DOC_QUERIES for t in q.split(" ")}
+)
+
+
+def _qterm_array():
+    return F.array(*[F.lit(t) for t in _QUERY_TERM_LIST])
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -79,29 +92,62 @@ _SQL_DL = f"SELECT doc_id, count(*) AS dl FROM ({_SQL_TOKENS}) GROUP BY doc_id"
 # ---------------------------------------------------------------------------
 
 
+def _bm25_postings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, doc_id, tf, dl) restricted to DOC_QUERIES' terms — SHUFFLE-FREE.
+
+    tf and dl are per-document quantities, so they are computed IN-ROW with
+    JVM higher-order functions over the token array (guide §2.4: remove
+    shuffles outright — a document's tokens never leave their scan row, so
+    the old groupBy(term, doc_id) exchange and the window-dl exchange were
+    pure data movement). The static query-term filter (guide §2.3/§3.2)
+    drops every non-query-term posting before it is even materialized; cost
+    is |query terms| · dl equality checks per doc inside codegen."""
+    qlits = _qterm_array()
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    return docs.select(
+        "doc_id",
+        F.size("t").alias("dl"),
+        F.explode(
+            F.filter(
+                F.transform(
+                    qlits,
+                    lambda q: F.struct(
+                        q.alias("term"),
+                        F.size(
+                            F.filter(F.col("t"), lambda x: x == q)
+                        ).alias("tf"),
+                    ),
+                ),
+                lambda s: s["tf"] > 0,
+            )
+        ).alias("p"),
+    ).select(
+        F.col("p.term").alias("term"), "doc_id", F.col("p.tf").alias("tf"), "dl"
+    )
+
+
 def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, doc_id, score) BM25 over documents for DOC_QUERIES.
 
-    Plan shape (scale story): postings/term-df shuffles are on near-uniform
-    keys; the query side is tiny and broadcast; the scored groupBy is
-    map-side-combinable. Doc length is attached as a window sum over the
-    postings' own doc_id partitioning — dl is a corpus-sized table (one row
-    per document), so it must NEVER be broadcast and never joined as a
-    separate N-row relation; the window reuses the hash partitioning. The
-    only aggregates over corpus-sized data are global (stats). No driver-side
-    loops, no Python UDFs at all here — whole plan is JVM built-ins."""
-    tokens = _doc_tokens(spark, sf_dir)
-    postings = tokens.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
-    # dl = Σ tf per doc, denormalized onto every posting row via a window
-    # (hash-partitioned by doc_id — scales; the engine's index path does the
-    # same denormalization inside the tokenize UDF, operators/tokenize.py)
-    postings = postings.withColumn(
-        "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
+    Plan shape (scale story): the candidate postings (query terms only) are
+    computed shuffle-free in-row (_bm25_postings_q); corpus stats (N, avgdl)
+    come straight off the token-array lengths — one map-side-combinable
+    global aggregate, no window, no N-row dl relation anywhere. df for the
+    (tiny) query-term dictionary aggregates the already-filtered postings.
+    The only exchanges left are the one-row stats fold, the query-term df
+    fold, and the final per-(query, doc) score sum — 9 Exchanges → 3, and
+    the documents scan is the only corpus-sized input to any of them. No
+    driver-side loops, no Python UDFs at all here — whole plan is JVM
+    built-ins."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
     )
-    dl = postings.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    stats = docs.agg(
+        F.count("*").alias("n_docs"), F.avg(F.size("t")).alias("avgdl")
     )
+    postings = _bm25_postings_q(spark, sf_dir)
     tdf = postings.groupBy("term").agg(F.count("*").alias("df"))
 
     qt = (
@@ -278,9 +324,19 @@ def q_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     n_terms = qt.groupBy("query_id").agg(F.count("*").alias("n_terms"))
-    postings = _doc_postings(spark, sf_dir)
+    # distinct matched terms per doc computed IN-ROW (array_intersect is a
+    # set op), replacing the full postings build: the old plan aggregated
+    # every (term, doc_id) posting through an exchange only to keep the
+    # handful of query-term rows after the join (guide §2.3 — filter before
+    # the shuffle). Row multiset after the qt join is identical.
+    matched_terms = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(
+            F.array_intersect(F.split(F.col("text"), " "), _qterm_array())
+        ).alias("term"),
+    )
     matched = (
-        postings.join(F.broadcast(qt), "term")
+        matched_terms.join(F.broadcast(qt), "term")
         .groupBy("query_id", "doc_id")
         .agg(F.count("*").alias("n_hit"))
     )
@@ -381,16 +437,27 @@ FROM documents GROUP BY md5(text)
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: token count, mean token length, stopword ratio."""
-    tokens = _doc_tokens(spark, sf_dir)
-    return tokens.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.round(F.avg(F.length("term")), 6).alias("avg_token_len"),
-        F.round(
-            F.sum(F.when(F.col("term").isin(*STOPWORDS), 1).otherwise(0))
-            / F.count("*"),
-            6,
-        ).alias("stopword_ratio"),
+    """Quality scoring: token count, mean token length, stopword ratio.
+
+    All three are per-document quantities over the in-row token array, so
+    the plan is fully narrow (scan → project, zero exchanges): the old
+    explode → groupBy(doc_id) shuffled every token of the corpus back to
+    the partition it already lived in (guide §2.4). Arithmetic is
+    value-identical: Σlength and the stopword count are exact ints either
+    way, and int/int division yields the same float64."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    n = F.size("t")
+    total_len = F.aggregate(
+        "t", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    n_stop = F.size(F.filter("t", lambda x: x.isin(*STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(total_len / n, 6).alias("avg_token_len"),
+        F.round(n_stop / n, 6).alias("stopword_ratio"),
     )
 
 

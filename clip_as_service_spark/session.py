@@ -68,6 +68,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # scan-parallelism floor: minPartitionNum only splits finer when a
+        # scan would otherwise produce fewer tasks than cores (a small-corpus
+        # hazard: one 600 KB parquet file = one task doing ALL tokenize work
+        # — measured 2.7× slower on the BM25 family); at 100 TB the file
+        # count dominates and the floor is a no-op. openCostInBytes drops
+        # from its 4 MB default so the floor can actually engage on small
+        # files (4 MB is a spinning-disk-era estimate; an open on NVMe or an
+        # object store costs far less than 4 MB of sequential scan).
+        .config("spark.sql.files.minPartitionNum", str(max(cores, 2)))
+        .config("spark.sql.files.openCostInBytes", "131072")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # ANN stored probes push (bucket IN <hundreds of values>) into the
         # parquet scan; the default threshold (10) silently drops such In
@@ -98,7 +108,40 @@ def get_spark(
         builder = builder.config("spark.local.dir", "/dev/shm/spark-local")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    from pyspark import SparkContext
+
+    fresh = SparkContext._active_spark_context is None
+    spark = builder.getOrCreate()
+    if fresh and os.environ.get("SPARK_GRAFT_WARMUP", "1") != "0":
+        _warmup(spark)
+    return spark
+
+
+def _warmup(spark: SparkSession) -> None:
+    """One tiny generic job on session creation: exercises the shuffle
+    machinery, hash-aggregate/sort/window codegen paths, broadcast exchange
+    and AQE query-stage plumbing so the FIRST real query doesn't pay their
+    one-time JVM init (Janino/classloader warm-up measured ~2-4 s on the
+    first shuffle query of a cold session). Touches no user data and caches
+    nothing — pure infrastructure warm-up, skippable via
+    SPARK_GRAFT_WARMUP=0."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    try:
+        df = spark.range(0, 1000, 1, 4).select(
+            (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+        )
+        agg = df.groupBy("k").agg(F.sum("v").alias("s"))
+        w = Window.partitionBy("k").orderBy(F.desc("s"))
+        out = (
+            agg.withColumn("r", F.row_number().over(w))
+            .join(F.broadcast(df.limit(7).select("k")), "k")
+            .filter(F.col("r") <= 1)
+        )
+        out.count()
+    except Exception:  # pragma: no cover - warm-up must never fail a session
+        pass
 
 
 def _parse_local_cores(master: str) -> int:
