@@ -731,6 +731,20 @@ def compact_ann_index(
     # survivor, so preservation is what makes the clear pure hygiene: a
     # crash at any point leaves tombstones that reference only rows this
     # compact already removed)
+    # snapshot the tombstone FILE LIST before reading: the end-of-compact
+    # cleanup removes exactly these files, so a delete_ann_vectors that
+    # lands mid-compact (appending a new file) is NOT discarded — its rows
+    # survived this compact and its tombstone keeps masking them (gens are
+    # preserved, so it still wins). Globbing BEFORE the read errs safe: a
+    # file appearing in the gap is compacted away but left on disk, a stale
+    # tombstone referencing only removed rows — documented hygiene debt,
+    # not resurrection. (Previously the whole dir was rmtree'd, silently
+    # dropping any delete that raced a layout-only compact.)
+    import glob as _glob
+
+    snap_tomb_files = sorted(
+        _glob.glob(_os.path.join(store.path("deleted_ids"), "*.parquet"))
+    ) if store.exists("deleted_ids") else []
     ts = _tombstones(spark, store)
     new_watermark = _next_gen(store, meta) if ts is not None else None
     cells = _filter_dead(store.read(spark, "ivf_cells"), ts)
@@ -827,9 +841,19 @@ def compact_ann_index(
         meta2 = store.read_meta()
         meta2["gen_watermark"] = int(new_watermark)
         store.write_meta(meta2)
+        import contextlib as _contextlib
         import shutil as _shutil
 
-        _shutil.rmtree(store.path("deleted_ids"), ignore_errors=True)
+        # remove only the snapshot's files (see glob above); a tombstone
+        # appended mid-compact survives and keeps masking its rows
+        for f in snap_tomb_files:
+            with _contextlib.suppress(FileNotFoundError):
+                _os.remove(f)
+        remaining = _glob.glob(
+            _os.path.join(store.path("deleted_ids"), "*.parquet")
+        )
+        if not remaining:
+            _shutil.rmtree(store.path("deleted_ids"), ignore_errors=True)
     _clear_compact_marker(store)
 
 

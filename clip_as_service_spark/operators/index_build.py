@@ -338,12 +338,14 @@ def _build_blocks_stage(
     coll = tdf_tid.agg(
         F.count_distinct("term").alias("nt"),
         F.count_distinct("tid").alias("nh"),
+        F.sum("df").alias("total_postings"),
     ).collect()[0]
     if coll["nt"] != coll["nh"]:
         raise AssertionError(
             f"xxhash64(term) collision: {coll['nt']} terms -> "
             f"{coll['nh']} tids; widen the block key to two hash seeds"
         )
+    total_postings = int(coll["total_postings"] or 0)
     # n_salts per term: 1 for the tail, ceil(df/target) for the Zipf head
     salted_terms = tdf_tid.filter(F.col("df") > salt_cutoff).select(
         "tid",
@@ -446,9 +448,15 @@ def _build_blocks_stage(
     # stats on `term` selective for query-time skipping. Dynamic-partition
     # fan-out stays bounded: each task holds a few (shard, sub) groups, not
     # every shard.
-    target_write_tasks = max(
-        spark.sparkContext.defaultParallelism * 2, n_shards
-    )
+    # ... and SIZE-ADAPTIVE (guide §2: derive partitioning from input size,
+    # not a core-count constant): ~24 B/posting in the sort buffers and a
+    # ~32 MB in-memory target per sort task gives tasks ≈ postings/1.4M —
+    # 143 at the 1.6M-doc corpus where 128 tasks measured 69 s → 18 s, and
+    # the n_shards floor at a 5k-doc corpus, where a 64-task dynamic-
+    # partition write was pure scheduling overhead (anti-scaling both ways).
+    # total_postings is exact, read off the already-materialized termdf.
+    size_tasks = -(-total_postings * 24 // (32 << 20))  # ceil
+    target_write_tasks = int(max(n_shards, size_tasks))
     splits = max(1, -(-target_write_tasks // n_shards))  # ceil
     blocks = blocks.repartition(
         target_write_tasks,
@@ -586,6 +594,12 @@ def delete_docs(spark: SparkSession, index_dir: str, doc_ids) -> int:
             F.col("doc_id").cast("long").alias("doc_id")
         ).dropDuplicates()
         n = tomb.count()
+        if n == 0:
+            # mirror delete_ann_vectors: an empty batch must not materialize
+            # a zero-row tombstone table (every later query would pay the
+            # tombstone load/anti-join setup for nothing, and purge would
+            # become runnable on an index with no actual deletes)
+            return 0
     else:
         vals = sorted({int(i) for i in doc_ids})
         if not vals:

@@ -250,14 +250,22 @@ def taat_topk(
     Zipf-head tail never decodes — exact, and the common worst-latency case
     ("the"-style head-term queries) skips most of its list.
 
-    Multi-term queries decode fully: a sum-of-remaining-UBs stop was measured
-    NET-SLOWER at 6.4M docs — with continuous score distributions the gap
-    between the kth partial and the best outsider is ~0, so the stop never
-    fires while its per-round bookkeeping costs real time. Skipping for
-    multi-term needs doc-at-a-time pointer movement (wand_topk) which Python
-    loops price out; the distributed exploded path covers heavy multi-term
-    batches instead. Accumulation is ascending-term (the oracle's float64
-    association); top-k via lexsort with the (score DESC, doc ASC) tie-break.
+    Multi-term queries above ``MULTI_TAAT_EARLY_MIN_POSTINGS`` (dense-id
+    indexes only) take the two-phase block-max early-stop path
+    (_taat_multi_term): decode block-chunks ACROSS terms in descending
+    idf·block-max order, stop exactly when the Σ of the terms' remaining
+    block maxima can no longer lift any doc outside the candidate set into
+    the top-k, then re-score only the candidates with the oracle's
+    ascending-term float64 fold — exact, same guarantee the single-term
+    stop gives, vectorized, no per-posting Python. Below the threshold a
+    full vectorized decode is faster than the stop's bookkeeping (a
+    sum-of-remaining-UBs stop with no candidate phase was measured
+    NET-SLOWER at 6.4M docs — this version stops the moment the bound
+    fires and hands the tail to a candidate-driven decode instead of
+    waiting for the bound to close the whole gap). Accumulation of
+    RETURNED scores is always ascending-term (the oracle's float64
+    association); top-k via lexsort with the (score DESC, doc ASC)
+    tie-break.
     """
     by_term: dict[str, list] = {}
     for row in rows:
@@ -269,6 +277,12 @@ def taat_topk(
     if len(terms) == 1:
         return _taat_single_term(
             by_term[terms[0]], k, bm25, chunk_blocks, deleted=deleted
+        )
+
+    total = sum(r.n for r in rows)
+    if n_docs is not None and total > MULTI_TAAT_EARLY_MIN_POSTINGS:
+        return _taat_multi_term(
+            by_term, k, bm25, n_docs, chunk_blocks, deleted=deleted
         )
 
     decoded = []
@@ -352,6 +366,141 @@ def _taat_single_term(blks, k: int, bm25: tuple, chunk_blocks: int, deleted=None
     universe = np.concatenate(doc_parts)
     scores = np.concatenate(score_parts)
     return _topk_from_arrays(universe, scores, k)
+
+
+# engage the multi-term early stop only past this candidate volume: below
+# it a full vectorized decode finishes in ~tens of ms and the stop's
+# bookkeeping (global impact sort + per-chunk threshold checks) is net loss
+MULTI_TAAT_EARLY_MIN_POSTINGS = 2_000_000
+# phase-1 candidate-pool cap (docs sampled from the highest-impact chunks
+# whose accumulated scores provide the kth-score lower bound θ̃)
+_TAAT_POOL_MAX = 1_000_000
+# stop only once the candidate set is small enough that the finalization
+# decode stays cheap; keep decoding (rem shrinks, the set shrinks) otherwise
+_TAAT_CAND_MAX = 65_536
+
+
+def _taat_multi_term(
+    by_term: dict[str, list], k: int, bm25: tuple, n_docs: int,
+    chunk_blocks: int, deleted=None,
+):
+    """Multi-term exact top-k with a block-max early stop (dense ids).
+
+    Phase 1 — bound: decode block-chunks across ALL query terms in
+    descending idf·block-max impact order into a dense accumulator.
+    rem = Σ_t idf_t · (max_w of t's best undecoded block) bounds how much
+    ANY document's score can still grow (each doc has ≤1 posting per term).
+    θ̃ = kth-best accumulated score over a pool of docs seen in the highest-
+    impact chunks (a lower bound of the true kth score, since partials only
+    grow and the pool is a subset). Once rem < θ̃ no document outside
+    C = {d : acc[d] + rem ≥ θ̃} can reach the final top-k — with the same
+    1+1e-9 float inflation the WAND bounds use, applied on both sides.
+
+    Phase 2 — finalize: the final top-k ⊆ C, but phase-1 partial sums are
+    neither complete nor in the oracle's fold order, so C is re-scored
+    EXACTLY: per term (ascending), decode only the blocks whose
+    [first_doc, last_doc] span intersects C (vectorized searchsorted over
+    the block metadata — the impact-ordered tail almost never overlaps a
+    k-sized candidate set), mask to C, accumulate ascending-term. Scores
+    are bit-identical to the full-decode fold. If the bound never fires the
+    stored decoded pieces are re-accumulated ascending-term — exactly the
+    full-decode path, so the worst case costs only the bookkeeping.
+
+    Tombstoned docs are masked per decoded chunk BEFORE θ̃ is taken (a
+    deleted doc inflating θ̃ could stop the decode while live docs that
+    belong in the page are undecoded — same invariant as the single-term
+    stop)."""
+    terms = sorted(by_term)
+    entries = []  # (term, idf, blocks sorted by max_w desc) — ascending term
+    for t in terms:
+        blks = sorted(by_term[t], key=lambda r: -r.max_w)
+        entries.append((t, float(blks[0].idf), blks))
+    flat = []  # global impact-desc decode order, consistent per term
+    for ti, (_t, idf, blks) in enumerate(entries):
+        for b in blks:
+            flat.append((idf * b.max_w, ti, b))
+    flat.sort(key=lambda x: -x[0])
+
+    max_last = max(b.last_doc for _i, _ti, b in flat)
+    dense = np.zeros(max(n_docs, int(max_last)) + 1, dtype=np.float64)
+    ptr = [0] * len(entries)  # per-term decoded-block count (own desc order)
+    pieces: list[list[tuple]] = [[] for _ in entries]  # (docs, w) per term
+    pool: np.ndarray | None = None
+    stopped = False
+    i = 0
+    while i < len(flat):
+        chunk = flat[i : i + chunk_blocks]
+        i += len(chunk)
+        # decode per term-group (idf and the vByte carry reset are per term)
+        by_ti: dict[int, list] = {}
+        for _imp, ti, b in chunk:
+            by_ti.setdefault(ti, []).append(b)
+        chunk_docs = []
+        for ti, blks in by_ti.items():
+            docs, w = _decode_block_group(blks, bm25)
+            docs, w = _mask_deleted(docs, w, deleted)
+            idf = entries[ti][1]
+            pieces[ti].append((docs, idf * w))
+            dense[docs] += idf * w
+            ptr[ti] += len(blks)
+            if pool is None or len(pool) < _TAAT_POOL_MAX:
+                chunk_docs.append(docs)
+        if chunk_docs:
+            new = np.concatenate(chunk_docs)
+            pool = (
+                np.unique(new)
+                if pool is None
+                else np.union1d(pool, new)[: _TAAT_POOL_MAX]
+            )
+        if i >= len(flat):
+            break
+        rem = 0.0
+        for ti, (_t, idf, blks) in enumerate(entries):
+            if ptr[ti] < len(blks):
+                rem += idf * blks[ptr[ti]].max_w
+        if pool is not None and len(pool) >= k:
+            pool_scores = dense[pool]
+            theta = (
+                -np.partition(-pool_scores, k - 1)[k - 1]
+                if len(pool_scores) >= k
+                else 0.0
+            )
+            if theta > 0.0 and rem * _UB_SAFETY < theta:
+                cand = np.flatnonzero(
+                    dense >= theta / _UB_SAFETY - rem * _UB_SAFETY
+                )
+                if len(cand) <= _TAAT_CAND_MAX:
+                    stopped = True
+                    break
+
+    if not stopped:
+        # bound never fired: re-accumulate the stored pieces in ascending-
+        # term order (the oracle's fold) — identical work to the full-decode
+        # path, phase 1 only cost the bookkeeping
+        dense.fill(0.0)
+        for ti in range(len(entries)):
+            for docs, pw in pieces[ti]:
+                dense[docs] += pw
+        universe = np.flatnonzero(dense > 0.0)
+        return _topk_from_arrays(universe, dense[universe], k)
+
+    # phase 2: exact ascending-term fold over the candidate set only
+    scores = np.zeros(len(cand), dtype=np.float64)
+    for _t, idf, blks in entries:
+        firsts = np.array([b.first_doc for b in blks], dtype=np.int64)
+        lasts = np.array([b.last_doc for b in blks], dtype=np.int64)
+        lo = np.searchsorted(cand, firsts, side="left")
+        hi = np.searchsorted(cand, lasts, side="right")
+        sel = np.flatnonzero(hi > lo)
+        if not len(sel):
+            continue
+        docs, w = _decode_block_group([blks[j] for j in sel], bm25)
+        idxs = np.searchsorted(cand, docs)
+        np.clip(idxs, 0, len(cand) - 1, out=idxs)
+        m = cand[idxs] == docs
+        scores[idxs[m]] += idf * w[m]
+    live = scores > 0.0
+    return _topk_from_arrays(cand[live], scores[live], k)
 
 
 def _topk_from_arrays(universe: np.ndarray, scores: np.ndarray, k: int):
@@ -473,14 +622,17 @@ class IndexReader:
         self._decoded_sizes.clear()
         self._decoded_bytes = 0
         if self.engine == "pyarrow":
-            import pyarrow.dataset as pads
-
-            self._ds = pads.dataset(
-                self.store.path("blocks"), format="parquet", partitioning="hive"
-            )
+            # per-shard ParquetFile handles + per-row-group (min, max) term
+            # stats, built ONCE per refresh: a query's fetch then opens no
+            # files and reads no footers — it prunes row groups driver-side
+            # (files are term-sorted at build, so the stats are selective)
+            # and issues direct read_row_groups calls. Measured ~2× faster
+            # per query than re-filtering a hive dataset (which re-evaluates
+            # partition + stats expressions per to_table call).
+            self._pq_files = self._build_pq_handles()
             self.blocks = None
         else:
-            self._ds = None
+            self._pq_files = None
             self.blocks = self.store.read(self.spark, "blocks")
         # merge-on-read doc deletes (delete_docs): tombstoned ids loaded
         # at construction/refresh; masked out of every scorer. The
@@ -510,19 +662,67 @@ class IndexReader:
     DECODED_CACHE_MAX_BYTES = 256 << 20
     QUERY_LOG_MAX = 10_000
 
+    def _build_pq_handles(self) -> dict[int, list]:
+        """{shard: [(ParquetFile, [(term_min, term_max) per row group])]}
+        for the blocks table — the reader's warm file map (rebuilt by
+        refresh(), so appended files are picked up there)."""
+        import glob as _glob
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        out: dict[int, list] = {}
+        root = self.store.path("blocks")
+        for d in sorted(_os.listdir(root)):
+            if not d.startswith("shard="):
+                continue
+            shard = int(d.split("=", 1)[1])
+            handles = []
+            for f in sorted(_glob.glob(_os.path.join(root, d, "*.parquet"))):
+                pf = _pq.ParquetFile(f)
+                md = pf.metadata
+                ti = list(md.schema.names).index("term")
+                stats = []
+                for i in range(md.num_row_groups):
+                    st = md.row_group(i).column(ti).statistics
+                    stats.append(
+                        (st.min, st.max) if st is not None else (None, None)
+                    )
+                handles.append((pf, stats))
+            out[shard] = handles
+        return out
+
     def _fetch_rows(self, terms: list[str]) -> list:
         missing = [t for t in terms if t not in self._term_rows_cache]
         if missing:
             shards = sorted({term_shard(t, self.meta["n_shards"]) for t in missing})
             if self.engine == "pyarrow":
+                import pyarrow as pa
                 import pyarrow.compute as pc
 
-                tbl = self._ds.to_table(
-                    filter=pc.field("shard").isin(shards)
-                    & pc.field("term").isin(missing),
-                    columns=list(_ARROW_COLS),
+                parts = []
+                for s in shards:
+                    for pf, stats in self._pq_files.get(s, []):
+                        rgs = [
+                            i
+                            for i, (mn, mx) in enumerate(stats)
+                            if mn is None
+                            or any(mn <= t <= mx for t in missing)
+                        ]
+                        if rgs:
+                            part = pf.read_row_groups(
+                                rgs, columns=list(_ARROW_COLS),
+                                use_threads=True,
+                            )
+                            parts.append(
+                                part.filter(pc.field("term").isin(missing))
+                            )
+                tbl = (
+                    pa.concat_tables(parts)
+                    if parts
+                    else None
                 )
-                fetched = _arrow_rows(tbl)
+                fetched = _arrow_rows(tbl) if tbl is not None else []
             else:
                 fetched = self.blocks.where(
                     F.col("shard").isin(shards) & F.col("term").isin(missing)
@@ -651,9 +851,23 @@ class IndexReader:
                 else None
             )
             hit_terms = [t for t in terms if self._term_rows_cache.get(t)]
-            if len(hit_terms) == 1 and hit_terms[0] not in self._decoded_cache:
+            cold = [t for t in hit_terms if t not in self._decoded_cache]
+            if len(hit_terms) == 1 and cold:
                 # cold single-term: block-max early stop (partial decode —
                 # deliberately NOT cached: the memo stores only full lists)
+                out = taat_topk(
+                    rows, k, self._bm25, n_docs=n_docs,
+                    deleted=self._deleted_arr,
+                )
+            elif (
+                len(hit_terms) > 1
+                and cold
+                and n_docs is not None
+                and entry["n_postings"] > MULTI_TAAT_EARLY_MIN_POSTINGS
+            ):
+                # cold heavy multi-term: two-phase block-max early stop
+                # (_taat_multi_term) — like the single-term stop, partial
+                # decodes are not memoized; warm repeats hit the memo path
                 out = taat_topk(
                     rows, k, self._bm25, n_docs=n_docs,
                     deleted=self._deleted_arr,
@@ -830,6 +1044,11 @@ def search_topk(
     store = IndexStorage(index_dir)
     meta = store.read_meta()
     bm25 = (float(meta["avgdl"]), float(meta["k1"]), float(meta["b"]))
+    dense_n_docs = (
+        int(meta["n_docs"])
+        if meta.get("doc_id_method") in ("dense", "dense_sorted", "row_number")
+        else None
+    )
     # merge-on-read doc deletes (delete_docs): tombstoned ids are dropped
     # from every scorer BEFORE ranking. Collected once per call (the table
     # is delete-sized) and broadcast to the WAND/TAAT closures; the
@@ -844,7 +1063,7 @@ def search_topk(
             .select("doc_id").distinct().collect()
         )
         if deleted_ids:
-            deleted_bc = spark.sparkContext.broadcast(deleted_ids)
+            deleted_bc = _deleted_broadcast(spark, store, deleted_ids)
         else:
             deleted_ids = None
     # query-terms table is tiny (Q·|q| rows): collect ONCE and rebuild as a
@@ -862,7 +1081,8 @@ def search_topk(
 
     if mode == "wand":
         return joined.groupBy("query_id").applyInPandas(
-            _make_wand(k, bm25, deleted_bc=deleted_bc), schema=TOPK_SCHEMA
+            _make_wand(k, bm25, deleted_bc=deleted_bc, n_docs=dense_n_docs),
+            schema=TOPK_SCHEMA,
         )
     if mode == "exploded":
         return _search_exploded(joined, k, bm25, deleted_ids=deleted_ids)
@@ -905,7 +1125,7 @@ def search_topk(
                 joined.filter(F.col("query_id").isin(light))
                 .groupBy("query_id")
                 .applyInPandas(
-                    _make_wand(k, bm25, deleted_bc=deleted_bc),
+                    _make_wand(k, bm25, deleted_bc=deleted_bc, n_docs=dense_n_docs),
                     schema=TOPK_SCHEMA,
                 )
             )
@@ -916,6 +1136,43 @@ def search_topk(
             out = out.unionByName(p)
         return out
     raise ValueError(f"unknown mode {mode!r}")
+
+
+# one live tombstone broadcast per index_dir (ADVICE r06: a long-lived
+# driver serving many queries against an index with deletes used to create
+# a NEW broadcast per search_topk call and never release it). Keyed on a
+# fingerprint of the tombstone file set (names + mtimes), so new deletes
+# refresh the broadcast and the superseded one is destroyed.
+_DELETED_BC_CACHE: dict[str, tuple] = {}
+
+
+def _deleted_broadcast(spark: SparkSession, store: IndexStorage, ids: list):
+    import glob
+    import os
+
+    sig_src = sorted(
+        (os.path.basename(f), os.path.getmtime(f))
+        for f in glob.glob(os.path.join(store.path("deleted_docs"), "*.parquet"))
+    )
+    app = spark.sparkContext.applicationId
+    key = (app, store.root)
+    # entries of a stopped SparkContext are dead weight: drop them
+    for k in [k for k in _DELETED_BC_CACHE if k[0] != app]:
+        del _DELETED_BC_CACHE[k]
+    sig = (tuple(sig_src), len(ids))
+    hit = _DELETED_BC_CACHE.get(key)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    if hit is not None:
+        # superseded: release executor copies; tasks in flight from earlier
+        # plans have already materialized their value
+        import contextlib
+
+        with contextlib.suppress(Exception):
+            hit[1].unpersist(blocking=False)
+    bc = spark.sparkContext.broadcast(ids)
+    _DELETED_BC_CACHE[key] = (sig, bc)
+    return bc
 
 
 def _query_volumes(joined: DataFrame) -> dict[int, int]:
@@ -954,7 +1211,8 @@ _BATCH_TAAT_MAX_POSTINGS = 250_000_000  # same memory bound as IndexReader
 
 
 def _make_wand(
-    k: int, bm25: tuple, taat_max: int | None = None, deleted_bc=None
+    k: int, bm25: tuple, taat_max: int | None = None, deleted_bc=None,
+    n_docs: int | None = None,
 ):
     # the crossover is read HERE (driver side) and captured by the closure —
     # executor workers re-import the module, so a module global read inside
@@ -980,7 +1238,9 @@ def _make_wand(
         # decoded lists fit (~16 B/posting), per-posting Python WAND only
         # beyond — measured 20-30× faster at tens of millions of postings
         if int(pdf["n"].sum()) <= taat_max:
-            result = taat_topk(rows, k, bm25, deleted=del_arr)
+            # n_docs (dense-id indexes) enables both the direct-array scorer
+            # and the multi-term block-max early stop inside taat_topk
+            result = taat_topk(rows, k, bm25, n_docs=n_docs, deleted=del_arr)
         else:
             result = wand_topk(
                 _cursors_from_rows(rows, bm25), k, deleted=del_set

@@ -78,6 +78,11 @@ def get_spark(
         # object store costs far less than 4 MB of sequential scan).
         .config("spark.sql.files.minPartitionNum", str(max(cores, 2)))
         .config("spark.sql.files.openCostInBytes", "131072")
+        # COUNT(*)/MIN/MAX over an unfiltered parquet scan answer from the
+        # file footers instead of scanning rows (Spark 3.3+; off by default).
+        # The build's per-stage lineage counts (_log) and row-count fences
+        # become metadata-only jobs; results are identical by construction.
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # ANN stored probes push (bucket IN <hundreds of values>) into the
         # parquet scan; the default threshold (10) silently drops such In

@@ -339,3 +339,41 @@ def test_update_refuses_bad_batches_before_tombstoning(
     # table (its existence alone taxes every probe until compact)
     assert ann_index.delete_ann_vectors(spark, idx, emb.filter(F.lit(False)).select("vec_id")) == 0
     assert not IndexStorage(idx).exists("deleted_ids")
+
+
+def test_delete_racing_nonretrain_compact_survives(
+    spark, emb, queries, quantizer, tmp_path, monkeypatch
+):
+    """ADVICE r06: a delete_ann_vectors landing AFTER a layout-only compact
+    read its tombstone snapshot must NOT be discarded by the end-of-compact
+    cleanup (the old rmtree resurrected its rows). The cleanup now removes
+    only the snapshot's files, so the racing tombstone survives and keeps
+    masking its rows."""
+    idx = str(tmp_path / "idx")
+    _build(spark, emb, idx, quantizer)
+    ann_index.delete_ann_vectors(spark, idx, [0])
+    orig = ann_index._tombstones
+    fired = {}
+
+    def hooked(sp, store):
+        ts = orig(sp, store)
+        if not fired:  # only on the compact's own snapshot read
+            fired["yes"] = True
+            # concurrent delete lands after the snapshot was read
+            ann_index.delete_ann_vectors(spark, idx, [2])
+        return ts
+
+    monkeypatch.setattr(ann_index, "_tombstones", hooked)
+    ann_index.compact_ann_index(spark, idx)
+    monkeypatch.setattr(ann_index, "_tombstones", orig)
+    store = IndexStorage(idx)
+    # the racing tombstone survived the cleanup...
+    assert store.exists("deleted_ids")
+    live_ts = store.read(spark, "deleted_ids").select("vec_id").collect()
+    assert {r["vec_id"] for r in live_ts} == {2}
+    # ...and its rows stay hidden on every probe path
+    assert not any(
+        vid in (0, 2)
+        for res in _all_paths(spark, idx, queries)
+        for (_, _, vid, _) in res
+    )
