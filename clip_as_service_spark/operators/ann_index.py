@@ -416,33 +416,27 @@ def _rh_rows(
         )
         embeddings = embeddings.join(codes, id_col)
     n_bits, n_tables = meta["rh_n_bits"], meta["rh_n_tables"]
-    planes_bits = n_bits * n_tables
-    tables_d = [
-        F.struct(
-            F.lit(t).alias("tbl"),
-            sim._table_bucket(
-                F.col(vec_col), meta["dim"], n_bits, t, planes_bits,
-                meta["rh_seed"], meta["sign_round_dp"],
-            ).alias("bucket"),
-        )
-        for t in range(n_tables)
-    ]
     payload = []
     if with_vec:
         payload.append(F.col(vec_col).alias("embedding"))
     if with_pq:
         payload.append(F.col("pq_code"))
     extra_in = ["pq_code"] if with_pq else []
+    # buckets via the vectorized Arrow kernel (one matmul per batch) — the
+    # same numpy dot AnnReader probes with, so stored/probe agree
+    tb = sim.rh_buckets_udf(
+        meta["dim"], n_bits, n_tables, meta["rh_seed"], meta["sign_round_dp"]
+    )
     return embeddings.select(
         id_col, vec_col, *extra_in, *mcols, *gcols,
-        F.explode(F.array(*tables_d)).alias("tb"),
+        F.posexplode(tb(F.col(vec_col))).alias("tbl", "bucket"),
     ).select(
         F.col(id_col).alias("vec_id"),
         *payload,
         *mcols,
         *gcols,
-        F.col("tb.tbl").alias("tbl"),
-        F.col("tb.bucket").alias("bucket"),
+        "tbl",
+        "bucket",
     )
 
 
@@ -1323,32 +1317,31 @@ def rh_topk_stored(
     _check_compact_marker(store)
     meta = store.read_meta()
     n_bits, n_tables = meta["rh_n_bits"], meta["rh_n_tables"]
-    planes_bits = n_bits * n_tables
-    probes_q = []
-    for t in range(n_tables):
-        b0 = sim._table_bucket(
-            F.col(q_vec_col), meta["dim"], n_bits, t, planes_bits,
-            meta["rh_seed"], meta["sign_round_dp"],
-        )
-        probes_q.append(F.struct(F.lit(t).alias("tbl"), b0.alias("bucket")))
-        if multi_probe:
-            probes_q += [
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    b0.bitwiseXOR(F.lit(1 << j)).alias("bucket"),
-                )
-                for j in range(n_bits)
-            ]
-    q = queries.select(
-        q_id_col, q_vec_col, F.explode(F.array(*probes_q)).alias("tb")
-    ).select(
-        q_id_col, q_vec_col,
-        F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
+    tb_udf = sim.rh_buckets_udf(
+        meta["dim"], n_bits, n_tables, meta["rh_seed"], meta["sign_round_dp"]
     )
+    q0 = queries.select(
+        q_id_col, q_vec_col, F.posexplode(tb_udf(F.col(q_vec_col))).alias("tbl", "bucket")
+    )
+    if multi_probe:
+        q = q0.select(
+            q_id_col, q_vec_col, "tbl",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                        for j in range(n_bits)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+    else:
+        q = q0
     # ONE evaluation of the query-side bucketing: collect the probe rows
     # (vectors included — Q·L·(n_bits+1) rows, interactive-scale) and
-    # rebuild a local DataFrame for the join, so the plane-literal
-    # expressions never re-execute (nor re-compile) in the joined plan
+    # rebuild a local DataFrame for the join, so the bucketing UDF never
+    # re-executes in the joined plan
     probe_rows = q.collect()
     by_tbl: dict[int, set[int]] = {}
     for r in probe_rows:

@@ -21,6 +21,7 @@ All math in float64, summed in index order (deterministic)."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -98,6 +99,66 @@ def rh_bucket_col(
     return out.cast("int")
 
 
+def rh_buckets_udf(
+    dim: int,
+    n_bits: int,
+    n_tables: int,
+    seed: int = 42,
+    sign_round_dp: int | None = None,
+):
+    """Vectorized L-table bucket computation: a pandas UDF that maps an
+    embedding column to array<int> of the n_tables bucket ids — ONE numpy
+    matmul per Arrow batch against the shared (n_tables·n_bits × dim) plane
+    matrix (guide §4.2: hand whole batches to native code). Replaces the
+    per-bit aggregate/zip_with expression trees, whose construction alone
+    cost n_tables·n_bits·dim py4j literal calls (~seconds) and whose
+    evaluation is CodegenFallback, interpreted per element.
+
+    Same numpy dot AnnReader._query_buckets uses driver-side, so stored and
+    probe buckets agree by construction; sign_round_dp uses the shared
+    HALF_UP kernel for cross-engine boundary pinning."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes_t = rh_planes(dim, n_bits * n_tables, seed).T  # (dim, B)
+    shifts = np.arange(n_bits, dtype=np.int64)
+
+    @pandas_udf("array<int>")
+    def _buckets(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        D = V @ planes_t  # (n, B)
+        if sign_round_dp is not None:
+            D = _round_half_up_np(D, sign_round_dp)
+        bits = (D >= 0).astype(np.int64)
+        out = np.empty((len(V), n_tables), dtype=np.int32)
+        for t in range(n_tables):
+            out[:, t] = (
+                bits[:, t * n_bits : (t + 1) * n_bits] << shifts
+            ).sum(axis=1)
+        return pd.Series(list(out))
+
+    return _buckets
+
+
+def _rh_table_buckets(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_bits: int,
+    n_tables: int,
+    seed: int,
+    sign_round_dp: int | None,
+    keep_cols: list,
+) -> DataFrame:
+    """df + (tbl, bucket) rows — one row per (input row, LSH table), buckets
+    from the vectorized UDF (posexplode index = table id)."""
+    b = rh_buckets_udf(dim, n_bits, n_tables, seed, sign_round_dp)
+    return df.select(
+        *keep_cols, F.posexplode(b(F.col(vec_col))).alias("tbl", "bucket")
+    )
+
+
 def rh_bucketed_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -125,42 +186,29 @@ def rh_bucketed_topk(
     1−(1−p)^L·(probe gain); candidates dedupe on (query, vec) before the
     exact-cosine re-rank, so more tables cost candidates, never correctness
     of what's returned."""
-    planes_bits = n_bits * n_tables
-    tables_d = [
-        F.struct(
-            F.lit(t).alias("tbl"),
-            _table_bucket(
-                F.col(vec_col), dim, n_bits, t, planes_bits, seed, sign_round_dp
-            ).alias("bucket"),
-        )
-        for t in range(n_tables)
-    ]
-    data = embeddings.select(
-        id_col, vec_col, F.explode(F.array(*tables_d)).alias("tb")
-    ).select(
-        id_col, vec_col,
-        F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
+    data = _rh_table_buckets(
+        embeddings, vec_col, dim, n_bits, n_tables, seed, sign_round_dp,
+        keep_cols=[id_col, vec_col],
     )
-    probes_q = []
-    for t in range(n_tables):
-        b0 = _table_bucket(
-            F.col(q_vec_col), dim, n_bits, t, planes_bits, seed, sign_round_dp
-        )
-        probes_q.append(F.struct(F.lit(t).alias("tbl"), b0.alias("bucket")))
-        if multi_probe:
-            probes_q += [
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    b0.bitwiseXOR(F.lit(1 << j)).alias("bucket"),
-                )
+    q0 = _rh_table_buckets(
+        queries, q_vec_col, dim, n_bits, n_tables, seed, sign_round_dp,
+        keep_cols=[q_id_col, q_vec_col],
+    )
+    if multi_probe:
+        # the table's own bucket plus every 1-bit-flip neighbor (JVM XOR on
+        # the already-computed bucket column — no re-hash)
+        flips = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << j))
                 for j in range(n_bits)
-            ]
-    q = queries.select(
-        q_id_col, q_vec_col, F.explode(F.array(*probes_q)).alias("tb")
-    ).select(
-        q_id_col, q_vec_col,
-        F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
-    )
+            ],
+        )
+        q = q0.select(
+            q_id_col, q_vec_col, "tbl", F.explode(flips).alias("bucket")
+        )
+    else:
+        q = q0
     joined = data.join(F.broadcast(q), ["tbl", "bucket"])
     cand = joined.dropDuplicates([q_id_col, id_col])
     scored = cand.select(
@@ -182,8 +230,13 @@ def _table_bucket(
 ) -> F.Column:
     """Bucket for one LSH table: planes are the table's n_bits-slice of the
     shared (planes_bits × dim) matrix, so table 0 with n_tables=1 reproduces
-    the single-table layout (oracle SQL stays valid)."""
+    the single-table layout (oracle SQL stays valid).
+
+    Bulk call sites use rh_buckets_udf instead (one Arrow matmul per batch);
+    this expression form remains for single-table / oracle-twin use."""
     planes = rh_planes(dim, planes_bits, seed)
+    if isinstance(vec, str):
+        vec = F.col(vec)
     out = None
     for j in range(n_bits):
         r = F.array(*[F.lit(float(x)) for x in planes[table * n_bits + j]])
@@ -302,21 +355,9 @@ def rh_cosine_pairs(
             chosen_out.update({"n_bits": n_bits, "n": n})
     elif chosen_out is not None:
         chosen_out.update({"n_bits": n_bits, "n": None})
-    planes_bits = n_bits * n_tables
-    tables_d = [
-        F.struct(
-            F.lit(t).alias("tbl"),
-            _table_bucket(
-                F.col(vec_col), dim, n_bits, t, planes_bits, seed, sign_round_dp
-            ).alias("bucket"),
-        )
-        for t in range(n_tables)
-    ]
-    d = embeddings.select(
-        id_col, F.explode(F.array(*tables_d)).alias("tb")
-    ).select(
-        id_col,
-        F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
+    d = _rh_table_buckets(
+        embeddings, vec_col, dim, n_bits, n_tables, seed, sign_round_dp,
+        keep_cols=[id_col],
     )
     a = d.alias("a")
     b = d.alias("b")
