@@ -223,8 +223,29 @@ def wand_topk(
     return [(r, -d, s) for r, (s, d) in enumerate(ordered, 1)]
 
 
+_DECODE_CHUNK_BLOCKS = 4096
+
+
 def _decode_block_group(blks, bm25: tuple):
-    """Batch-decode a list of block rows of ONE term → (docs, w)."""
+    """Batch-decode a list of block rows of ONE term → (docs, w).
+
+    Large groups decode in bounded chunks: vbyte_decode's general path
+    allocates several #bytes-sized temporaries, and a Zipf-head term's
+    single-shot decode (millions of postings) was measured ~4× slower than
+    the same blocks in 4096-block chunks (memory traffic, not ALU). Outputs
+    are identical — blocks decode independently."""
+    if len(blks) <= _DECODE_CHUNK_BLOCKS:
+        return _decode_block_group_raw(blks, bm25)
+    doc_parts = []
+    w_parts = []
+    for i in range(0, len(blks), _DECODE_CHUNK_BLOCKS):
+        d, w = _decode_block_group_raw(blks[i : i + _DECODE_CHUNK_BLOCKS], bm25)
+        doc_parts.append(d)
+        w_parts.append(w)
+    return np.concatenate(doc_parts), np.concatenate(w_parts)
+
+
+def _decode_block_group_raw(blks, bm25: tuple):
     avgdl, k1, b = bm25
     ns = np.array([r.n for r in blks], dtype=np.int64)
     docs, tfs, dls = decode_posting_blocks_batch(
@@ -372,12 +393,16 @@ def _taat_single_term(blks, k: int, bm25: tuple, chunk_blocks: int, deleted=None
 # it a full vectorized decode finishes in ~tens of ms and the stop's
 # bookkeeping (global impact sort + per-chunk threshold checks) is net loss
 MULTI_TAAT_EARLY_MIN_POSTINGS = 2_000_000
-# phase-1 candidate-pool cap (docs sampled from the highest-impact chunks
-# whose accumulated scores provide the kth-score lower bound θ̃)
-_TAAT_POOL_MAX = 1_000_000
+# phase-1 candidate-pool cap (docs with the largest first-chunk partials;
+# their accumulated scores provide the kth-score lower bound θ̃ — a pool
+# miss only DELAYS the stop, so small-and-strong beats big-and-slow: the
+# per-chunk θ̃ check gathers dense[pool])
+_TAAT_POOL_MAX = 65_536
 # stop only once the candidate set is small enough that the finalization
 # decode stays cheap; keep decoding (rem shrinks, the set shrinks) otherwise
 _TAAT_CAND_MAX = 65_536
+# failed candidate scans before giving up on the early stop for this query
+_TAAT_MAX_CAND_SCANS = 3
 
 
 def _taat_multi_term(
@@ -402,9 +427,12 @@ def _taat_multi_term(
     [first_doc, last_doc] span intersects C (vectorized searchsorted over
     the block metadata — the impact-ordered tail almost never overlaps a
     k-sized candidate set), mask to C, accumulate ascending-term. Scores
-    are bit-identical to the full-decode fold. If the bound never fires the
-    stored decoded pieces are re-accumulated ascending-term — exactly the
-    full-decode path, so the worst case costs only the bookkeeping.
+    are bit-identical to the full-decode fold. If the bound never closes a
+    small candidate set, the fully-decoded bound accumulator still locates
+    the top-k region (rem = 0, same addends as the exact fold to within
+    addition order, margins keep boundary ties) and phase 2 re-scores just
+    that region — the worst case pays one scatter plus bookkeeping, never
+    a second full accumulation.
 
     Tombstoned docs are masked per decoded chunk BEFORE θ̃ is taken (a
     deleted doc inflating θ̃ could stop the decode while live docs that
@@ -415,74 +443,113 @@ def _taat_multi_term(
     for t in terms:
         blks = sorted(by_term[t], key=lambda r: -r.max_w)
         entries.append((t, float(blks[0].idf), blks))
-    flat = []  # global impact-desc decode order, consistent per term
+    # global impact-desc decode order, consistent with each term's own order
+    flat_blocks: list = []
+    flat_ti: list[int] = []
+    imps: list[float] = []
     for ti, (_t, idf, blks) in enumerate(entries):
         for b in blks:
-            flat.append((idf * b.max_w, ti, b))
-    flat.sort(key=lambda x: -x[0])
+            flat_blocks.append(b)
+            flat_ti.append(ti)
+            imps.append(idf * b.max_w)
+    order = np.argsort(-np.asarray(imps, dtype=np.float64), kind="stable")
 
-    max_last = max(b.last_doc for _i, _ti, b in flat)
-    dense = np.zeros(max(n_docs, int(max_last)) + 1, dtype=np.float64)
+    max_last = max(b.last_doc for b in flat_blocks)
+    dense_size = max(n_docs, int(max_last)) + 1
     ptr = [0] * len(entries)  # per-term decoded-block count (own desc order)
-    pieces: list[list[tuple]] = [[] for _ in entries]  # (docs, w) per term
+    # BOUND accumulator: impact-order partial sums — same addends as the
+    # exact fold, so its values differ from exact scores only in addition
+    # order (last-ulp); used ONLY for the θ̃/candidate bounds, with the
+    # 1+1e-9 margins absorbing that noise. Phase 2 re-scores candidates in
+    # the oracle's ascending-term order, so returned scores are exact. One
+    # full scatter total (incremental), and decoded chunks are NOT retained
+    # — peak memory is the accumulator, not 16 B/posting of pieces.
+    dense = np.zeros(dense_size, dtype=np.float64)
+    # θ̃ pool: docs of the FIRST (highest-impact) chunk, frozen — the true
+    # top-k almost always carries a high-impact posting, and a weaker pool
+    # only DELAYS the stop (θ̃ = kth of a subset ≤ kth overall), never
+    # breaks it
     pool: np.ndarray | None = None
+    cand = None
     stopped = False
+    next_check_rem = float("inf")
+    cand_scans = 0
     i = 0
-    while i < len(flat):
-        chunk = flat[i : i + chunk_blocks]
-        i += len(chunk)
-        # decode per term-group (idf and the vByte carry reset are per term)
+    while i < len(order):
+        chunk_idx = order[i : i + chunk_blocks]
+        i += len(chunk_idx)
         by_ti: dict[int, list] = {}
-        for _imp, ti, b in chunk:
-            by_ti.setdefault(ti, []).append(b)
-        chunk_docs = []
-        for ti, blks in by_ti.items():
+        for j in chunk_idx:
+            by_ti.setdefault(flat_ti[j], []).append(flat_blocks[j])
+        chunk_docs = [] if pool is None else None
+        chunk_pws = [] if pool is None else None
+        for ti, blks in sorted(by_ti.items()):
             docs, w = _decode_block_group(blks, bm25)
             docs, w = _mask_deleted(docs, w, deleted)
-            idf = entries[ti][1]
-            pieces[ti].append((docs, idf * w))
-            dense[docs] += idf * w
+            pw = entries[ti][1] * w
+            dense[docs] += pw
             ptr[ti] += len(blks)
-            if pool is None or len(pool) < _TAAT_POOL_MAX:
+            if chunk_docs is not None:
                 chunk_docs.append(docs)
-        if chunk_docs:
-            new = np.concatenate(chunk_docs)
-            pool = (
-                np.unique(new)
-                if pool is None
-                else np.union1d(pool, new)[: _TAAT_POOL_MAX]
-            )
-        if i >= len(flat):
+                chunk_pws.append(pw)
+        if pool is None:
+            if chunk_docs:
+                cd = np.concatenate(chunk_docs)
+                cw = np.concatenate(chunk_pws)
+                if len(cd) > _TAAT_POOL_MAX:
+                    top = np.argpartition(-cw, _TAAT_POOL_MAX - 1)[
+                        :_TAAT_POOL_MAX
+                    ]
+                    cd = cd[top]
+                pool = np.unique(cd)
+            else:
+                pool = np.empty(0, dtype=np.int64)
+        if i >= len(order):
             break
         rem = 0.0
         for ti, (_t, idf, blks) in enumerate(entries):
             if ptr[ti] < len(blks):
                 rem += idf * blks[ptr[ti]].max_w
-        if pool is not None and len(pool) >= k:
+        if len(pool) >= k and cand_scans < _TAAT_MAX_CAND_SCANS:
             pool_scores = dense[pool]
-            theta = (
-                -np.partition(-pool_scores, k - 1)[k - 1]
-                if len(pool_scores) >= k
-                else 0.0
-            )
-            if theta > 0.0 and rem * _UB_SAFETY < theta:
+            theta = -np.partition(-pool_scores, k - 1)[k - 1]
+            if (
+                theta > 0.0
+                and rem * _UB_SAFETY < theta
+                and rem <= next_check_rem
+            ):
                 cand = np.flatnonzero(
                     dense >= theta / _UB_SAFETY - rem * _UB_SAFETY
                 )
                 if len(cand) <= _TAAT_CAND_MAX:
                     stopped = True
                     break
+                # candidate set still too broad: decode on, pay the next
+                # full-array scan only once the bound has tightened, and
+                # give up on early stopping after a few failed scans (flat
+                # impact distributions never close the set — the end-of-
+                # decode candidate finalize is then the cheap path)
+                cand_scans += 1
+                next_check_rem = rem * 0.5
 
     if not stopped:
-        # bound never fired: re-accumulate the stored pieces in ascending-
-        # term order (the oracle's fold) — identical work to the full-decode
-        # path, phase 1 only cost the bookkeeping
-        dense.fill(0.0)
-        for ti in range(len(entries)):
-            for docs, pw in pieces[ti]:
-                dense[docs] += pw
-        universe = np.flatnonzero(dense > 0.0)
-        return _topk_from_arrays(universe, dense[universe], k)
+        # everything decoded (the bound never closed a small candidate
+        # set): finalize CANDIDATE-DRIVEN anyway — with rem = 0 the kth
+        # largest bound value locates the top-k region to within float
+        # noise, the margins keep every possible member and tie in, and
+        # phase 2 re-scores that small set exactly. No second scatter.
+        if not dense.any():
+            return []
+        kth = (
+            -np.partition(-dense, k - 1)[k - 1]
+            if dense_size > k
+            else 0.0
+        )
+        if kth <= 0.0:
+            # fewer than k scored docs — the candidate set IS the universe
+            cand = np.flatnonzero(dense > 0.0)
+        else:
+            cand = np.flatnonzero(dense >= kth / _UB_SAFETY)
 
     # phase 2: exact ascending-term fold over the candidate set only
     scores = np.zeros(len(cand), dtype=np.float64)
@@ -987,17 +1054,16 @@ _ARROW_COLS = (
 )
 
 
-class _ArrowRow:
-    __slots__ = _ARROW_COLS
+# a namedtuple constructs ~3× faster than a setattr-loop class over the
+# hundreds of thousands of block rows a Zipf-head fetch returns
+import collections as _collections
 
-    def __init__(self, *vals):
-        for name, v in zip(_ARROW_COLS, vals):
-            setattr(self, name, v)
+_ArrowRow = _collections.namedtuple("_ArrowRow", _ARROW_COLS)
 
 
 def _arrow_rows(tbl) -> list[_ArrowRow]:
     cols = [tbl.column(name).to_pylist() for name in _ARROW_COLS]
-    return [_ArrowRow(*vals) for vals in zip(*cols)]
+    return list(map(_ArrowRow._make, zip(*cols)))
 
 
 # ---------------------------------------------------------------------------

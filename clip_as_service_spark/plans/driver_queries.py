@@ -148,7 +148,18 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"), F.avg(F.size("t")).alias("avgdl")
     )
     postings = _bm25_postings_q(spark, sf_dir)
-    tdf = postings.groupBy("term").agg(F.count("*").alias("df"))
+    # df per query term from the cheaper set-op form (array_intersect is
+    # distinct-by-construction, so count(*) == the postings-based df) —
+    # this branch of the plan then skips the tf computation entirely
+    tdf = (
+        docs.select(
+            F.explode(
+                F.array_intersect("t", _qterm_array())
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
 
     qt = (
         _queries_df(spark)
