@@ -145,6 +145,32 @@ def _warmup(spark: SparkSession) -> None:
             .filter(F.col("r") <= 1)
         )
         out.count()
+        # second pass: Generate (explode) + the higher-order-function
+        # expression paths (transform/filter/aggregate) the text queries
+        # compile — their codegen/eval infrastructure is distinct from the
+        # aggregate/window machinery above
+        txt = spark.createDataFrame(
+            [("a b c a", i) for i in range(8)], "text string, id int"
+        ).select("id", F.split("text", " ").alias("t"))
+        probe = txt.select(
+            "id",
+            F.size(F.filter("t", lambda x: x == "a")).alias("na"),
+            F.aggregate(
+                "t", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            ).alias("tl"),
+            F.explode(
+                F.transform(
+                    F.array(F.lit("a"), F.lit("b")),
+                    lambda q: F.struct(
+                        q.alias("term"),
+                        F.size(F.filter(F.col("t"), lambda x: x == q)).alias(
+                            "tf"
+                        ),
+                    ),
+                )
+            ).alias("p"),
+        )
+        probe.groupBy(F.col("p.term")).agg(F.sum("na"), F.sum("tl")).count()
     except Exception:  # pragma: no cover - warm-up must never fail a session
         pass
 
