@@ -43,19 +43,17 @@ def base_hash_col(col, nibbles: int = FP_NIBBLES) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, nibbles), 16, 10).cast("long")
 
 
-def shingles(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3
-) -> DataFrame:
-    """→ (id, shingle) distinct word k-grams (split on single space)."""
+def _gram_arrays(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """→ (id, grams: array<string>) word k-grams IN-ROW (split on single
+    space). Docs with <k tokens yield an empty array (an unguarded
+    sequence(0, size-k) would DESCEND for sub-k docs — Spark sequence is
+    bidirectional — and the resulting negative index crashes slice();
+    short/empty docs are guaranteed in web corpora)."""
     tokens = df.select(
         F.col(id_col).alias("id"),
         F.split(F.col(text_col), " ").alias("toks"),
     )
-    # k-gram via transform over 0..len-k; docs with <k tokens yield zero
-    # shingles (an unguarded sequence(0, size-k) would DESCEND for sub-k
-    # docs — Spark sequence is bidirectional — and the resulting negative
-    # index crashes slice(); short/empty docs are guaranteed in web corpora)
-    grams = tokens.select(
+    return tokens.select(
         "id",
         F.when(
             F.size("toks") >= k,
@@ -65,7 +63,17 @@ def shingles(
             ),
         ).otherwise(F.array().cast("array<string>")).alias("grams"),
     )
-    return grams.select("id", F.explode("grams").alias("shingle")).distinct()
+
+
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """→ (id, shingle) distinct word k-grams (split on single space)."""
+    return (
+        _gram_arrays(df, id_col, text_col, k)
+        .select("id", F.explode("grams").alias("shingle"))
+        .distinct()
+    )
 
 
 def minhash_signatures(
@@ -93,6 +101,11 @@ def lsh_candidate_pairs(
     Docs collide if any band (n_hashes/n_bands consecutive minima) matches
     exactly — the band value is md5 over the concatenated minima."""
     rows_per_band = n_hashes // n_bands
+    # NOTE r07: an in-row signature variant (array_min over per-gram
+    # permutation transforms — zero shuffle) was built and A/B-measured
+    # NET-SLOWER (5.1-6.8s vs 4.8s at sf0.1): higher-order functions are
+    # CodegenFallback, so 16 interpreted folds per doc lose to the
+    # codegen'd explode + map-side-combined groupBy they would replace.
     sig = minhash_signatures(shingles(df, id_col, text_col, k), n_hashes)
     band_cols = []
     for b in range(n_bands):
@@ -410,6 +423,14 @@ def connected_components(
     und = edges.union(
         edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
+    if algorithm == "minlabel":
+        # cut the UPSTREAM lineage once: every propagation round joins
+        # `und`, and without this the whole pair-producing pipeline
+        # (LSH candidates + verify) re-executes per round — only `labels`
+        # was checkpointed. (The star branch checkpoints its edge set on
+        # entry already.) localCheckpoint here; a durable checkpoint dir on
+        # a real cluster.
+        und = und.localCheckpoint()
     if nodes is None:
         nodes = und.select(F.col("id_a").alias("id")).distinct()
     else:
