@@ -1334,20 +1334,13 @@ def _search_exploded(
     avgdl, k1, b = bm25
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # ONE vectorized decode per Arrow batch (guide §4.2): blocks are
+        # independently decodable, so the whole batch's payloads go through
+        # decode_posting_blocks_batch together and the per-row metadata is
+        # np.repeat-expanded — the previous per-row loop made thousands of
+        # tiny vbyte_decode calls per batch (overhead-bound)
         for pdf in batches:
-            qids, terms, docs, parts = [], [], [], []
-            for row in pdf.itertuples(index=False):
-                n = row.n
-                doc_ids = np.cumsum(vbyte_decode(row.docs, n))
-                w = impact_weights(
-                    vbyte_decode(row.tfs, n), vbyte_decode(row.dls, n),
-                    avgdl, k1, b,
-                )
-                qids.append(np.full(n, row.query_id, dtype=np.int64))
-                terms.append(np.repeat(np.array([row.term], dtype=object), n))
-                docs.append(doc_ids)
-                parts.append(row.idf * w)
-            if not qids:
+            if not len(pdf):
                 yield pd.DataFrame(
                     {"query_id": pd.Series([], dtype="int64"),
                      "term": pd.Series([], dtype=object),
@@ -1355,12 +1348,20 @@ def _search_exploded(
                      "partial": pd.Series([], dtype="float64")}
                 )
                 continue
+            ns = pdf["n"].to_numpy(dtype=np.int64)
+            doc_ids, tfs, dls = decode_posting_blocks_batch(
+                list(pdf["docs"]), list(pdf["tfs"]), list(pdf["dls"]), ns
+            )
+            w = impact_weights(tfs, dls, avgdl, k1, b)
+            partial = np.repeat(pdf["idf"].to_numpy(dtype=np.float64), ns) * w
             yield pd.DataFrame(
                 {
-                    "query_id": np.concatenate(qids),
-                    "term": np.concatenate(terms),
-                    "doc_id": np.concatenate(docs),
-                    "partial": np.concatenate(parts),
+                    "query_id": np.repeat(
+                        pdf["query_id"].to_numpy(dtype=np.int64), ns
+                    ),
+                    "term": np.repeat(pdf["term"].to_numpy(dtype=object), ns),
+                    "doc_id": doc_ids,
+                    "partial": partial,
                 }
             )
 
